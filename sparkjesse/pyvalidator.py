@@ -1,0 +1,637 @@
+"""Pure-Python JSON-Schema validator: draft-03 with jesse-parity semantics,
+draft-04 from the public spec / official test-suite behavior.
+
+This module is the engine's *dynamic-JSON* kernel. It serves two roles:
+
+1. ``validate_value(schema, value)`` — the local fast path that drives the
+   JSON-Schema-Test-Suite conformance fixtures (the reference runs the same
+   corpus through ``validate_with_schema``,
+   `/root/reference/test/jesse_tests_draft3_SUITE.erl:204-228`).
+2. The per-document kernel invoked inside Arrow-batched pandas UDFs
+   (see ``sparkjesse.engine``) for documents whose shape is not statically
+   typed. Typed columns take the Catalyst compiler path instead
+   (``sparkjesse.compiler``) — that is the 100 TB hot path.
+
+Draft-03 semantics follow the reference's observable behavior exactly
+(error atoms, path conventions, gating rules, quirks included):
+
+* keyword checks gate on instance type and pass vacuously otherwise
+  (`jesse_validator_draft3.erl:39-191`);
+* ``type`` union members may be inline schemas validated with a fresh,
+  error-swallowing context (`:276-300`); unknown type names accept
+  (`:269-273`);
+* tuple ``items``: array shorter than the tuple ⇒ ``not_enought_items``;
+  longer with ``additionalItems`` absent/true ⇒ pass *without validating
+  the prefix* (quirk, `:511-536`); ``additionalItems:false`` ⇒ single
+  ``no_extra_items_allowed`` on the array itself;
+* ``divisibleBy: 0`` ⇒ ``not_divisible`` data error (`:806-815`);
+* ``disallow`` negates the type check with swallowed errors (`:824-831`);
+* scalar equality is exact — ``1 != 1.0``, ``true != 1`` (`:884-925`);
+* ``format`` always passes (`:797-798`);
+* per-subtree ``$schema`` re-dispatch
+  (`/root/reference/src/jesse_schema_validator.erl:55-87`).
+
+Draft-04 adds: array-form ``required``, ``allOf/anyOf/oneOf/not``,
+``multipleOf``, ``min/maxProperties``, string-only ``type``,
+numeric-equality ``enum``/``uniqueItems``, boolean exclusiveMin/Max, and
+compile-time ``$ref`` resolution (local pointers, registry ids, cycles
+guarded).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Any, Callable, Optional
+
+from .equality import json_equal
+from . import errors as E
+from .errors import Violation
+
+_POINTER_UNESCAPE = [("~1", "/"), ("~0", "~")]
+
+_REF_DEPTH_LIMIT = 200
+
+
+def _is_bool(v: Any) -> bool:
+    return isinstance(v, bool)
+
+
+def _is_int(v: Any) -> bool:
+    return isinstance(v, int) and not isinstance(v, bool)
+
+
+def _is_number(v: Any) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def _is_string(v: Any) -> bool:
+    return isinstance(v, str)
+
+
+def _is_object(v: Any) -> bool:
+    return isinstance(v, dict)
+
+
+def _is_array(v: Any) -> bool:
+    return isinstance(v, list)
+
+
+def draft_of(schema: Any, default: str) -> str:
+    """Resolve the draft for a (sub)schema — jesse re-reads ``$schema`` on
+    every descent (`jesse_schema_validator.erl:55-57,63-67`)."""
+    if isinstance(schema, dict):
+        uri = schema.get("$schema")
+        if isinstance(uri, str):
+            if uri.startswith(E.DRAFT3_URI):
+                return E.DRAFT3
+            if uri.startswith(E.DRAFT4_URI):
+                return E.DRAFT4
+            return "unsupported:" + uri
+    return default
+
+
+class _Ctx:
+    """Mutable validation context: error list + root-to-leaf paths."""
+
+    __slots__ = ("violations", "path", "schema_path", "registry",
+                 "root_schema", "ref_depth", "max_errors")
+
+    def __init__(self, root_schema: Any, registry=None, max_errors=None):
+        self.violations: list[Violation] = []
+        self.path: list[Any] = []
+        self.schema_path: list[Any] = []
+        self.registry = registry
+        self.root_schema = root_schema
+        self.ref_depth = 0
+        self.max_errors = max_errors
+
+    def data_invalid(self, error_type: str, value: Any, detail: str = "") -> None:
+        self.violations.append(Violation(
+            error_kind=E.DATA_INVALID,
+            error_type=error_type,
+            path=E.to_pointer(self.path),
+            schema_ptr=E.to_pointer(self.schema_path),
+            value_json=E.json_dumps(value),
+            detail=detail,
+        ))
+
+    def schema_invalid(self, error_type: str, detail: str = "") -> None:
+        self.violations.append(Violation(
+            error_kind=E.SCHEMA_INVALID,
+            error_type=error_type,
+            path=E.to_pointer(self.path),
+            schema_ptr=E.to_pointer(self.schema_path),
+            value_json="",
+            detail=detail,
+        ))
+
+
+def validate_value(schema: Any, value: Any, *, registry=None,
+                   default_draft: str = E.DRAFT3,
+                   max_errors: Optional[int] = None) -> list[Violation]:
+    """Validate one parsed JSON value; return the violation list
+    (empty ⇒ valid). Equivalent of ``jesse:validate_with_schema/3``."""
+    ctx = _Ctx(schema, registry=registry, max_errors=max_errors)
+    _validate(ctx, schema, value, default_draft)
+    if max_errors is not None:
+        return ctx.violations[:max_errors]
+    return ctx.violations
+
+
+def is_valid(schema: Any, value: Any, *, registry=None,
+             default_draft: str = E.DRAFT3) -> bool:
+    return not validate_value(schema, value, registry=registry,
+                              default_draft=default_draft, max_errors=1)
+
+
+def _subcheck(ctx: _Ctx, schema: Any, value: Any, draft: str) -> bool:
+    """Validate in a throwaway context (union branches, anyOf/oneOf/not,
+    disallow) — errors are swallowed, only pass/fail escapes, mirroring
+    the fresh-state trick at `jesse_validator_draft3.erl:283-297`."""
+    sub = _Ctx(ctx.root_schema, registry=ctx.registry)
+    sub.ref_depth = ctx.ref_depth
+    _validate(sub, schema, value, draft)
+    return not sub.violations
+
+
+def _validate(ctx: _Ctx, schema: Any, value: Any, default_draft: str) -> None:
+    if not isinstance(schema, dict):
+        # non-object schema — jesse requires object schemas; treat as pass
+        return
+    draft = draft_of(schema, default_draft)
+    if draft.startswith("unsupported:"):
+        ctx.schema_invalid(E.SCHEMA_UNSUPPORTED, detail=draft.split(":", 1)[1])
+        return
+    if draft == E.DRAFT3:
+        _validate_draft3(ctx, schema, value, draft)
+    else:
+        _validate_draft4(ctx, schema, value, draft)
+
+
+def _descend(ctx: _Ctx, segment: Any, schema_seg: list[Any],
+             schema: Any, value: Any, draft: str) -> None:
+    """Push path segment(s), recurse, pop — ``check_value/4`` equivalent
+    (`jesse_validator_draft3.erl:197-202`)."""
+    if segment is not None:
+        ctx.path.append(segment)
+    ctx.schema_path.extend(schema_seg)
+    try:
+        _validate(ctx, schema, value, draft)
+    finally:
+        if segment is not None:
+            ctx.path.pop()
+        for _ in schema_seg:
+            ctx.schema_path.pop()
+
+
+# ---------------------------------------------------------------------------
+# draft-03
+# ---------------------------------------------------------------------------
+
+_SIMPLE_TYPE3: dict[str, Callable[[Any], bool]] = {
+    "string": _is_string,
+    "number": _is_number,
+    "integer": _is_int,
+    "boolean": _is_bool,
+    "object": _is_object,
+    "array": _is_array,
+    "null": lambda v: v is None,
+    "any": lambda v: True,
+}
+
+
+def _type_valid3(ctx: _Ctx, value: Any, type_arg: Any, draft: str) -> bool:
+    if isinstance(type_arg, str):
+        fn = _SIMPLE_TYPE3.get(type_arg)
+        return True if fn is None else fn(value)  # unknown name ⇒ accept
+    if isinstance(type_arg, list):
+        for member in type_arg:
+            if isinstance(member, dict):
+                if _subcheck(ctx, member, value, draft):
+                    return True
+            elif isinstance(member, str):
+                fn = _SIMPLE_TYPE3.get(member)
+                if fn is None or fn(value):
+                    return True
+            else:
+                return True  # lenient, like the default clause
+        return False
+    return True  # non-string non-array type arg ⇒ accept
+
+
+def _validate_draft3(ctx: _Ctx, schema: dict, value: Any, draft: str) -> None:
+    for kw, arg in schema.items():
+        if kw == "type":
+            if not _type_valid3(ctx, value, arg, draft):
+                ctx.schema_path.append("type")
+                ctx.data_invalid(E.WRONG_TYPE, value)
+                ctx.schema_path.pop()
+        elif kw == "properties" and _is_object(value) and _is_object(arg):
+            for name, prop_schema in arg.items():
+                if name in value:
+                    _descend(ctx, name, ["properties", name],
+                             prop_schema, value[name], draft)
+                elif isinstance(prop_schema, dict) and \
+                        prop_schema.get("required") is True:
+                    ctx.schema_path.extend(["properties", name])
+                    ctx.data_invalid(E.MISSING_REQUIRED_PROPERTY, value,
+                                     detail=name)
+                    ctx.schema_path.pop(); ctx.schema_path.pop()
+        elif kw == "patternProperties" and _is_object(value) and _is_object(arg):
+            for pname, pvalue in value.items():
+                for pattern, pschema in arg.items():
+                    if _regex_search(pattern, pname):
+                        _descend(ctx, pname, ["patternProperties", pattern],
+                                 pschema, pvalue, draft)
+        elif kw == "additionalProperties" and _is_object(value):
+            _check_additional_properties(ctx, schema, value, arg, draft)
+        elif kw == "items" and _is_array(value):
+            _check_items3(ctx, schema, value, arg, draft)
+        elif kw == "dependencies" and _is_object(value) and _is_object(arg):
+            _check_dependencies3(ctx, value, arg, draft)
+        elif kw == "minimum" and _is_number(value):
+            exclusive = schema.get("exclusiveMinimum") is True
+            ok = value > arg if exclusive else value >= arg
+            if not ok:
+                ctx.data_invalid(E.NOT_IN_RANGE, value)
+        elif kw == "maximum" and _is_number(value):
+            exclusive = schema.get("exclusiveMaximum") is True
+            ok = value < arg if exclusive else value <= arg
+            if not ok:
+                ctx.data_invalid(E.NOT_IN_RANGE, value)
+        elif kw == "minItems" and _is_array(value):
+            if len(value) < arg:
+                ctx.data_invalid(E.WRONG_SIZE, value)
+        elif kw == "maxItems" and _is_array(value):
+            if len(value) > arg:
+                ctx.data_invalid(E.WRONG_SIZE, value)
+        elif kw == "uniqueItems" and _is_array(value) and arg is True:
+            if not _all_unique(value, exact=True):
+                ctx.data_invalid(E.NOT_UNIQUE, value)
+        elif kw == "pattern" and _is_string(value):
+            if not _regex_search(arg, value):
+                ctx.data_invalid(E.NO_MATCH, value)
+        elif kw == "minLength" and _is_string(value):
+            if len(value) < arg:
+                ctx.data_invalid(E.WRONG_LENGTH, value)
+        elif kw == "maxLength" and _is_string(value):
+            if len(value) > arg:
+                ctx.data_invalid(E.WRONG_LENGTH, value)
+        elif kw == "enum" and isinstance(arg, list):
+            if not any(json_equal(value, m, exact_numbers=True) for m in arg):
+                ctx.data_invalid(E.NOT_IN_RANGE, value)
+        elif kw == "divisibleBy" and _is_number(value):
+            _check_divisible(ctx, value, arg)
+        elif kw == "disallow":
+            if _type_valid3(ctx, value, arg, draft):
+                ctx.data_invalid(E.NOT_ALLOWED, value)
+        elif kw == "extends":
+            if _is_object(arg):
+                _descend(ctx, None, ["extends"], arg, value, draft)
+            elif _is_array(arg):
+                for i, sub in enumerate(arg):
+                    if _is_object(sub):
+                        _descend(ctx, None, ["extends", i], sub, value, draft)
+        # format: no-op (parity, jesse_validator_draft3.erl:797-798)
+        # unknown keywords silently skipped (:190-191)
+
+
+def _check_additional_properties(ctx: _Ctx, schema: dict, value: dict,
+                                 arg: Any, draft: str) -> None:
+    if arg is True:
+        return
+    properties = schema.get("properties") or {}
+    patterns = list((schema.get("patternProperties") or {}).keys())
+    extras = [
+        name for name in value
+        if name not in properties
+        and not any(_regex_search(p, name) for p in patterns)
+    ]
+    if not extras:
+        return
+    if arg is False:
+        for name in extras:
+            ctx.path.append(name)
+            ctx.schema_path.append("additionalProperties")
+            ctx.data_invalid(E.NO_EXTRA_PROPERTIES_ALLOWED, value, detail=name)
+            ctx.schema_path.pop()
+            ctx.path.pop()
+    elif _is_object(arg):
+        for name in extras:
+            _descend(ctx, name, ["additionalProperties"], arg,
+                     value[name], draft)
+
+
+def _check_items3(ctx: _Ctx, schema: dict, value: list, items: Any,
+                  draft: str) -> None:
+    if _is_object(items):
+        for i, element in enumerate(value):
+            _descend(ctx, i, ["items"], items, element, draft)
+    elif _is_array(items):
+        n_extra = len(value) - len(items)
+        if n_extra == 0:
+            for i, (element, sub) in enumerate(zip(value, items)):
+                _descend(ctx, i, ["items", i], sub, element, draft)
+        elif n_extra > 0:
+            additional = schema.get("additionalItems", None)
+            if additional is None or additional is True:
+                # reference quirk: prefix NOT validated in this branch
+                # (jesse_validator_draft3.erl:524-526)
+                return
+            if additional is False:
+                ctx.data_invalid(E.NO_EXTRA_ITEMS_ALLOWED, value)
+            elif _is_object(additional):
+                for i, element in enumerate(value):
+                    if i < len(items):
+                        _descend(ctx, i, ["items", i], items[i], element, draft)
+                    else:
+                        _descend(ctx, i, ["additionalItems"], additional,
+                                 element, draft)
+        else:
+            ctx.data_invalid(E.NOT_ENOUGHT_ITEMS, value)
+    else:
+        ctx.schema_invalid(E.WRONG_TYPE_ITEMS)
+
+
+def _check_dependencies3(ctx: _Ctx, value: dict, deps: dict, draft: str) -> None:
+    for dep_name, dep in deps.items():
+        if dep_name not in value:
+            continue
+        _check_dependency_value3(ctx, value, dep_name, dep, draft)
+
+
+def _check_dependency_value3(ctx: _Ctx, value: dict, dep_name: str,
+                             dep: Any, draft: str) -> None:
+    if isinstance(dep, str):
+        if dep not in value:
+            ctx.schema_path.extend(["dependencies", dep_name])
+            ctx.data_invalid(E.MISSING_DEPENDENCY, value, detail=dep)
+            ctx.schema_path.pop(); ctx.schema_path.pop()
+    elif _is_object(dep):
+        # schema dependency: whole object validated, dep name pushed on path
+        # (check_value(DependencyName, Value, Dependency, ...) at :600-605)
+        _descend(ctx, dep_name, ["dependencies", dep_name], dep, value, draft)
+    elif _is_array(dep):
+        for member in dep:
+            _check_dependency_value3(ctx, value, dep_name, member, draft)
+    else:
+        ctx.schema_invalid(E.WRONG_TYPE_DEPENDENCY, detail=dep_name)
+
+
+def _check_divisible(ctx: _Ctx, value: Any, divisor: Any) -> None:
+    # parity with `(V/D - trunc(V/D)) * D == 0.0` incl. divisor 0 ⇒ error
+    # (jesse_validator_draft3.erl:806-815)
+    if divisor == 0:
+        ctx.data_invalid(E.NOT_DIVISIBLE, value)
+        return
+    q = value / divisor
+    if (q - math.trunc(q)) * divisor != 0.0:
+        ctx.data_invalid(E.NOT_DIVISIBLE, value)
+
+
+def _all_unique(value: list, *, exact: bool) -> bool:
+    # jesse is O(n²) pairwise (`:712-736`); we hash scalars for O(n) and only
+    # fall back to pairwise for composite / mixed-type tails.
+    n = len(value)
+    if n < 2:
+        return True
+    for i in range(n):
+        for j in range(i + 1, n):
+            if json_equal(value[i], value[j], exact_numbers=exact):
+                return False
+    return True
+
+
+def _regex_search(pattern: str, text: str) -> bool:
+    """Unanchored search, like Erlang ``re:run`` (PCRE-descended; Python
+    ``re`` matches closely for the vetted subset — README.md:241-251)."""
+    try:
+        return re.search(pattern, text) is not None
+    except re.error:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# draft-04
+# ---------------------------------------------------------------------------
+
+_SIMPLE_TYPE4: dict[str, Callable[[Any], bool]] = {
+    "string": _is_string,
+    "number": _is_number,
+    "integer": _is_int,
+    "boolean": _is_bool,
+    "object": _is_object,
+    "array": _is_array,
+    "null": lambda v: v is None,
+}
+
+
+def _type_valid4(value: Any, type_arg: Any) -> bool:
+    if isinstance(type_arg, str):
+        fn = _SIMPLE_TYPE4.get(type_arg)
+        return True if fn is None else fn(value)
+    if isinstance(type_arg, list):
+        return any(_type_valid4(value, t) for t in type_arg)
+    return True
+
+
+def _resolve_ref(ctx: _Ctx, ref: str) -> tuple[Any, Any]:
+    """Resolve ``$ref`` — local pointer (``#/...``), root (``#``), or a
+    registry id with optional fragment. Returns ``(target, base_document)``
+    where ``base_document`` is the document subsequent ``#...`` refs must
+    resolve against (changes when crossing into a registry schema).
+    ``(None, None)`` on failure."""
+    base, _, fragment = ref.partition("#")
+    if base == "":
+        base_doc = ctx.root_schema
+    else:
+        if ctx.registry is None:
+            return None, None
+        try:
+            base_doc = ctx.registry.read(base)
+        except Exception:
+            try:
+                return ctx.registry.read(ref), None
+            except Exception:
+                return None, None
+    target = base_doc
+    if fragment in ("", "/"):
+        return target, base_doc
+    for raw in fragment.lstrip("/").split("/"):
+        seg = raw
+        for old, new in _POINTER_UNESCAPE:
+            seg = seg.replace(old, new)
+        if _is_object(target) and seg in target:
+            target = target[seg]
+        elif _is_array(target):
+            try:
+                target = target[int(seg)]
+            except (ValueError, IndexError):
+                return None, None
+        else:
+            return None, None
+    return target, base_doc
+
+
+def _validate_draft4(ctx: _Ctx, schema: dict, value: Any, draft: str) -> None:
+    ref = schema.get("$ref")
+    if isinstance(ref, str):
+        # draft4: $ref replaces the schema entirely (siblings ignored)
+        if ctx.ref_depth >= _REF_DEPTH_LIMIT:
+            ctx.schema_invalid(E.REF_CYCLE, detail=ref)
+            return
+        target, base_doc = _resolve_ref(ctx, ref)
+        if target is None:
+            ctx.schema_invalid(E.SCHEMA_INVALID_REF, detail=ref)
+            return
+        ctx.ref_depth += 1
+        saved_root = ctx.root_schema
+        if base_doc is not None:
+            ctx.root_schema = base_doc
+        try:
+            _validate(ctx, target, value, draft)
+        finally:
+            ctx.root_schema = saved_root
+            ctx.ref_depth -= 1
+        return
+
+    for kw, arg in schema.items():
+        if kw == "type":
+            if not _type_valid4(value, arg):
+                ctx.schema_path.append("type")
+                ctx.data_invalid(E.WRONG_TYPE, value)
+                ctx.schema_path.pop()
+        elif kw == "properties" and _is_object(value) and _is_object(arg):
+            for name, prop_schema in arg.items():
+                if name in value:
+                    _descend(ctx, name, ["properties", name],
+                             prop_schema, value[name], draft)
+        elif kw == "required" and _is_object(value) and _is_array(arg):
+            for name in arg:
+                if name not in value:
+                    ctx.schema_path.append("required")
+                    ctx.data_invalid(E.MISSING_REQUIRED_PROPERTY, value,
+                                     detail=name)
+                    ctx.schema_path.pop()
+        elif kw == "patternProperties" and _is_object(value) and _is_object(arg):
+            for pname, pvalue in value.items():
+                for pattern, pschema in arg.items():
+                    if _regex_search(pattern, pname):
+                        _descend(ctx, pname, ["patternProperties", pattern],
+                                 pschema, pvalue, draft)
+        elif kw == "additionalProperties" and _is_object(value):
+            _check_additional_properties(ctx, schema, value, arg, draft)
+        elif kw == "items" and _is_array(value):
+            _check_items4(ctx, schema, value, arg, draft)
+        elif kw == "dependencies" and _is_object(value) and _is_object(arg):
+            for dep_name, dep in arg.items():
+                if dep_name not in value:
+                    continue
+                if _is_object(dep):
+                    _descend(ctx, None, ["dependencies", dep_name], dep,
+                             value, draft)
+                elif _is_array(dep):
+                    for member in dep:
+                        if isinstance(member, str) and member not in value:
+                            ctx.schema_path.extend(["dependencies", dep_name])
+                            ctx.data_invalid(E.MISSING_DEPENDENCY, value,
+                                             detail=member)
+                            ctx.schema_path.pop(); ctx.schema_path.pop()
+                elif isinstance(dep, str):
+                    if dep not in value:
+                        ctx.schema_path.extend(["dependencies", dep_name])
+                        ctx.data_invalid(E.MISSING_DEPENDENCY, value,
+                                         detail=dep)
+                        ctx.schema_path.pop(); ctx.schema_path.pop()
+        elif kw == "minimum" and _is_number(value):
+            exclusive = schema.get("exclusiveMinimum") is True
+            ok = value > arg if exclusive else value >= arg
+            if not ok:
+                ctx.data_invalid(E.NOT_IN_RANGE, value)
+        elif kw == "maximum" and _is_number(value):
+            exclusive = schema.get("exclusiveMaximum") is True
+            ok = value < arg if exclusive else value <= arg
+            if not ok:
+                ctx.data_invalid(E.NOT_IN_RANGE, value)
+        elif kw == "multipleOf" and _is_number(value):
+            _check_multiple_of(ctx, value, arg)
+        elif kw == "minItems" and _is_array(value):
+            if len(value) < arg:
+                ctx.data_invalid(E.WRONG_SIZE, value)
+        elif kw == "maxItems" and _is_array(value):
+            if len(value) > arg:
+                ctx.data_invalid(E.WRONG_SIZE, value)
+        elif kw == "uniqueItems" and _is_array(value) and arg is True:
+            if not _all_unique(value, exact=False):
+                ctx.data_invalid(E.NOT_UNIQUE, value)
+        elif kw == "pattern" and _is_string(value):
+            if not _regex_search(arg, value):
+                ctx.data_invalid(E.NO_MATCH, value)
+        elif kw == "minLength" and _is_string(value):
+            if len(value) < arg:
+                ctx.data_invalid(E.WRONG_LENGTH, value)
+        elif kw == "maxLength" and _is_string(value):
+            if len(value) > arg:
+                ctx.data_invalid(E.WRONG_LENGTH, value)
+        elif kw == "minProperties" and _is_object(value):
+            if len(value) < arg:
+                ctx.data_invalid(E.WRONG_SIZE, value)
+        elif kw == "maxProperties" and _is_object(value):
+            if len(value) > arg:
+                ctx.data_invalid(E.WRONG_SIZE, value)
+        elif kw == "enum" and isinstance(arg, list):
+            if not any(json_equal(value, m, exact_numbers=False) for m in arg):
+                ctx.data_invalid(E.NOT_IN_RANGE, value)
+        elif kw == "allOf" and _is_array(arg):
+            for i, sub in enumerate(arg):
+                _descend(ctx, None, ["allOf", i], sub, value, draft)
+        elif kw == "anyOf" and _is_array(arg):
+            if not any(_subcheck(ctx, sub, value, draft) for sub in arg):
+                ctx.schema_path.append("anyOf")
+                ctx.data_invalid(E.ANY_SCHEMAS_NOT_VALID, value)
+                ctx.schema_path.pop()
+        elif kw == "oneOf" and _is_array(arg):
+            n_valid = sum(
+                1 for sub in arg if _subcheck(ctx, sub, value, draft))
+            if n_valid != 1:
+                ctx.schema_path.append("oneOf")
+                ctx.data_invalid(E.NOT_ONE_SCHEMA_VALID, value,
+                                 detail=str(n_valid))
+                ctx.schema_path.pop()
+        elif kw == "not" and _is_object(arg):
+            if _subcheck(ctx, arg, value, draft):
+                ctx.schema_path.append("not")
+                ctx.data_invalid(E.NOT_SCHEMA_VALID, value)
+                ctx.schema_path.pop()
+        # format: no-op in both drafts; unknown keywords skipped
+
+
+def _check_items4(ctx: _Ctx, schema: dict, value: list, items: Any,
+                  draft: str) -> None:
+    if _is_object(items):
+        for i, element in enumerate(value):
+            _descend(ctx, i, ["items"], items, element, draft)
+    elif _is_array(items):
+        # draft4/spec: prefix always validated; shorter arrays are valid
+        for i, element in enumerate(value):
+            if i < len(items):
+                _descend(ctx, i, ["items", i], items[i], element, draft)
+            else:
+                additional = schema.get("additionalItems", None)
+                if additional is False:
+                    ctx.data_invalid(E.NO_EXTRA_ITEMS_ALLOWED, value)
+                    break
+                if _is_object(additional):
+                    _descend(ctx, i, ["additionalItems"], additional,
+                             element, draft)
+
+
+def _check_multiple_of(ctx: _Ctx, value: Any, divisor: Any) -> None:
+    if not _is_number(divisor) or divisor <= 0:
+        ctx.schema_invalid(E.NOT_DIVISIBLE, detail="multipleOf must be > 0")
+        return
+    q = value / divisor
+    nearest = round(q)
+    if abs(q - nearest) > 1e-9 * max(1.0, abs(q)):
+        ctx.data_invalid(E.NOT_DIVISIBLE, value)
