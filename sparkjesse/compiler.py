@@ -1,0 +1,752 @@
+"""Schema → Catalyst compiler: the heart of the engine.
+
+The reference walks the schema tree *per document* at run time
+(`/root/reference/src/jesse_validator_draft3.erl:39-191`). We invert that:
+the schema tree is walked **once, on the driver, at compile time**, emitting
+a tree of Catalyst ``Column`` expressions that Spark evaluates column-at-a-
+time inside whole-stage codegen — no per-row Python anywhere on this path.
+
+Two products per schema:
+
+* ``compile_predicate(schema, value, dtype)`` → a null-safe boolean Column
+  (``true`` = valid), used for composition (``anyOf``/``oneOf``/``not``/
+  union types/``disallow``) where only pass/fail escapes — the expression
+  analogue of jesse's fresh-state error swallowing
+  (`jesse_validator_draft3.erl:283-297`).
+* ``compile_checks(...)`` → violation-emitting checks with exact
+  jesse-style error atoms and JSON-pointer paths. Array-element paths are
+  built dynamically inside ``F.transform`` lambdas (index Column), so
+  violations carry ``/spans/3/kind``-style pointers at zero extra shuffle.
+
+Typed-column semantics (documented deviations from dynamic JSON):
+  * SQL ``NULL`` means *absent*; ``required`` fails on null. Typed columns
+    cannot distinguish JSON ``null`` from a missing key (draft3 can —
+    SURVEY.md §1.4); use the pandas-UDF JSON path when that matters.
+  * ``type`` is checked statically against the Spark type: a statically
+    matching column needs no runtime check at all; a statically impossible
+    type yields ``wrong_type`` for every present value.
+  * Keyword checks gate on the instance type exactly like the reference
+    (``minLength`` on a numeric column is vacuous, etc.) — except here the
+    gate is resolved at compile time, so inapplicable checks simply emit
+    no expression (free Catalyst win, SURVEY.md §4.1).
+
+Checks are evaluated with null-safe three-valued-logic hygiene: every
+predicate is coalesced so NULL inputs read as "vacuous pass", matching the
+reference's type gating.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    ByteType,
+    DataType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    ShortType,
+    StringType,
+    StructType,
+)
+
+from . import errors as E
+from .types import VIOLATIONS_ARRAY_TYPE
+
+_INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
+_NUMERIC = _INTEGRAL + (FloatType, DoubleType, DecimalType)
+
+
+class CompileError(ValueError):
+    """Schema uses a construct the typed-column compiler can't express;
+    callers should fall back to the pandas-UDF JSON path."""
+
+
+@dataclass
+class CompileContext:
+    draft: str = E.DRAFT4
+    registry: Optional[Any] = None  # SchemaRegistry for $ref
+    root_schema: Any = None
+    ref_depth: int = 0
+
+
+def _true() -> Column:
+    return F.lit(True)
+
+
+def _ns(cond: Column) -> Column:
+    """Null-safe: NULL ⇒ vacuous pass (matches reference type gating)."""
+    return F.coalesce(cond, F.lit(True))
+
+
+def _is_integral(dtype: DataType) -> bool:
+    return isinstance(dtype, _INTEGRAL)
+
+
+def _is_numeric(dtype: DataType) -> bool:
+    return isinstance(dtype, _NUMERIC)
+
+
+def _static_type_match(type_name: str, dtype: DataType) -> Optional[bool]:
+    """Does this Spark type statically satisfy the schema type name?
+    Returns None for 'null' (runtime-dependent)."""
+    if type_name == "any":
+        return True
+    if type_name == "string":
+        return isinstance(dtype, StringType)
+    if type_name == "integer":
+        return _is_integral(dtype)
+    if type_name == "number":
+        return _is_numeric(dtype)
+    if type_name == "boolean":
+        return isinstance(dtype, BooleanType)
+    if type_name == "object":
+        return isinstance(dtype, (StructType, MapType))
+    if type_name == "array":
+        return isinstance(dtype, ArrayType)
+    if type_name == "null":
+        return None
+    return True  # unknown type names accept (jesse parity, :269-273)
+
+
+def _value_json(value: Column, dtype: DataType) -> Column:
+    if isinstance(dtype, (StructType, ArrayType, MapType)):
+        return F.to_json(value)
+    return F.coalesce(value.cast("string"), F.lit("null"))
+
+
+def _viol(error_type: str, path: Column, schema_ptr: str,
+          value_json: Column, detail: str = "",
+          kind: str = E.DATA_INVALID) -> Column:
+    return F.struct(
+        F.lit(kind).alias("error_kind"),
+        F.lit(error_type).alias("error_type"),
+        path.alias("path"),
+        F.lit(schema_ptr).alias("schema_ptr"),
+        value_json.alias("value_json"),
+        F.lit(detail).alias("detail"),
+    )
+
+
+def _empty_violations() -> Column:
+    return F.array().cast(VIOLATIONS_ARRAY_TYPE)
+
+
+def _resolve_ref(ctx: CompileContext, ref: str) -> Any:
+    base, _, fragment = ref.partition("#")
+    if base == "":
+        target = ctx.root_schema
+    elif ctx.registry is not None and base in ctx.registry:
+        target = ctx.registry.read(base)
+    else:
+        raise CompileError(f"unresolvable $ref {ref!r}")
+    for raw in fragment.lstrip("/").split("/") if fragment.strip("/") else []:
+        seg = raw.replace("~1", "/").replace("~0", "~")
+        if isinstance(target, dict) and seg in target:
+            target = target[seg]
+        elif isinstance(target, list):
+            target = target[int(seg)]
+        else:
+            raise CompileError(f"unresolvable $ref {ref!r}")
+    return target
+
+
+def _deref(ctx: CompileContext, schema: dict) -> dict:
+    """Resolve $ref chains at compile time (draft4: siblings ignored)."""
+    depth = 0
+    while isinstance(schema, dict) and isinstance(schema.get("$ref"), str) \
+            and ctx.draft == E.DRAFT4:
+        if depth > 64:
+            raise CompileError("$ref cycle (non-structural) in schema")
+        schema = _resolve_ref(ctx, schema["$ref"])
+        depth += 1
+    if not isinstance(schema, dict):
+        raise CompileError("$ref target is not an object schema")
+    return schema
+
+
+# ---------------------------------------------------------------------------
+# predicate compiler — true ⇒ valid, null-safe
+# ---------------------------------------------------------------------------
+
+def compile_predicate(schema: Any, value: Column, dtype: DataType,
+                      ctx: CompileContext, _depth: int = 0) -> Column:
+    if not isinstance(schema, dict) or not schema:
+        return _true()
+    if _depth > 48:
+        raise CompileError("schema nesting too deep for expression compile")
+    schema = _deref(ctx, schema)
+    preds: list[Column] = []
+    for kw, arg in schema.items():
+        p = _keyword_predicate(kw, arg, schema, value, dtype, ctx, _depth)
+        if p is not None:
+            preds.append(p)
+    if not preds:
+        return _true()
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def _type_predicate(arg: Any, value: Column, dtype: DataType,
+                    ctx: CompileContext, _depth: int) -> Column:
+    """Membership predicate for a type name / union-with-inline-schemas."""
+    members = arg if isinstance(arg, list) else [arg]
+    out: Optional[Column] = None
+    for member in members:
+        if isinstance(member, dict):
+            if ctx.draft == E.DRAFT3:
+                m = compile_predicate(member, value, dtype, ctx, _depth + 1)
+            else:
+                continue  # draft4 type members are names only
+        elif isinstance(member, str):
+            static = _static_type_match(member, dtype)
+            if static is None:  # "null"
+                m = value.isNull()
+            elif static:
+                m = value.isNotNull()
+            else:
+                m = F.lit(False)
+        else:
+            m = _true()
+        out = m if out is None else (out | m)
+    if out is None:
+        return _true()
+    # absent values pass the type check (required handles presence)
+    return value.isNull() | F.coalesce(out, F.lit(False))
+
+
+def _keyword_predicate(kw: str, arg: Any, schema: dict, value: Column,
+                       dtype: DataType, ctx: CompileContext,
+                       _depth: int) -> Optional[Column]:
+    """Predicate for one keyword, or None when vacuous for this dtype."""
+    draft3 = ctx.draft == E.DRAFT3
+
+    if kw == "type":
+        return _type_predicate(arg, value, dtype, ctx, _depth)
+
+    if kw == "enum" and isinstance(arg, list):
+        return _enum_predicate(arg, value, dtype)
+
+    if kw in ("minimum", "maximum") and _is_numeric(dtype):
+        exclusive = schema.get("exclusive" + kw.capitalize()) is True
+        if kw == "minimum":
+            cond = value > F.lit(arg) if exclusive else value >= F.lit(arg)
+        else:
+            cond = value < F.lit(arg) if exclusive else value <= F.lit(arg)
+        return _ns(cond)
+
+    if kw == "divisibleBy" and draft3 and _is_numeric(dtype):
+        return _ns(_divisible_exact(value, arg))
+
+    if kw == "multipleOf" and not draft3 and _is_numeric(dtype):
+        return _ns(_multiple_of(value, arg))
+
+    if kw == "minLength" and isinstance(dtype, StringType):
+        return _ns(F.length(value) >= F.lit(arg))
+    if kw == "maxLength" and isinstance(dtype, StringType):
+        return _ns(F.length(value) <= F.lit(arg))
+    if kw == "pattern" and isinstance(dtype, StringType):
+        return _ns(value.rlike(arg))
+
+    if kw == "minItems" and isinstance(dtype, ArrayType):
+        return _ns(F.size(value) >= F.lit(arg))
+    if kw == "maxItems" and isinstance(dtype, ArrayType):
+        return _ns(F.size(value) <= F.lit(arg))
+    if kw == "uniqueItems" and arg is True and isinstance(dtype, ArrayType):
+        return _ns(F.size(F.array_distinct(value)) == F.size(value))
+
+    if kw == "items" and isinstance(dtype, ArrayType):
+        if isinstance(arg, dict):
+            return _ns(F.forall(value, lambda x: _rebind_predicate(
+                arg, x, dtype.elementType, ctx, _depth)))
+        raise CompileError("tuple-form items not supported on typed arrays")
+
+    if kw == "properties" and isinstance(arg, dict):
+        return _properties_predicate(arg, schema, value, dtype, ctx, _depth)
+
+    if kw == "required" and not draft3 and isinstance(arg, list):
+        return _required_predicate(arg, value, dtype)
+
+    if kw == "dependencies" and isinstance(arg, dict):
+        return _dependencies_predicate(arg, value, dtype, ctx, _depth)
+
+    if kw == "minProperties" and isinstance(dtype, MapType):
+        return _ns(F.size(F.map_keys(value)) >= F.lit(arg))
+    if kw == "maxProperties" and isinstance(dtype, MapType):
+        return _ns(F.size(F.map_keys(value)) <= F.lit(arg))
+    if kw == "minProperties" and isinstance(dtype, StructType):
+        return _ns(_present_field_count(value, dtype) >= F.lit(arg))
+    if kw == "maxProperties" and isinstance(dtype, StructType):
+        return _ns(_present_field_count(value, dtype) <= F.lit(arg))
+
+    if kw in ("patternProperties", "additionalProperties"):
+        return _map_properties_predicate(kw, arg, schema, value, dtype,
+                                         ctx, _depth)
+
+    if kw == "allOf" and isinstance(arg, list):
+        out = _true()
+        for sub in arg:
+            out = out & compile_predicate(sub, value, dtype, ctx, _depth + 1)
+        return out
+    if kw == "anyOf" and isinstance(arg, list):
+        out = F.lit(False)
+        for sub in arg:
+            out = out | compile_predicate(sub, value, dtype, ctx, _depth + 1)
+        return value.isNull() | out
+    if kw == "oneOf" and isinstance(arg, list):
+        n = F.lit(0)
+        for sub in arg:
+            n = n + F.when(
+                compile_predicate(sub, value, dtype, ctx, _depth + 1), 1
+            ).otherwise(0)
+        return value.isNull() | (n == 1)
+    if kw == "not" and isinstance(arg, dict):
+        return value.isNull() | \
+            ~F.coalesce(compile_predicate(arg, value, dtype, ctx, _depth + 1),
+                        F.lit(True))
+
+    if kw == "disallow" and draft3:
+        return value.isNull() | \
+            ~F.coalesce(_type_predicate(arg, value, dtype, ctx, _depth),
+                        F.lit(True))
+
+    if kw == "extends" and draft3:
+        subs = arg if isinstance(arg, list) else [arg]
+        out = _true()
+        for sub in subs:
+            if isinstance(sub, dict):
+                out = out & compile_predicate(sub, value, dtype, ctx,
+                                              _depth + 1)
+        return out
+
+    # format: no-op; unsupported/inapplicable keywords: vacuous
+    return None
+
+
+def _rebind_predicate(schema: Any, x: Column, elem_type: DataType,
+                      ctx: CompileContext, _depth: int) -> Column:
+    return F.coalesce(
+        compile_predicate(schema, x, elem_type, ctx, _depth + 1), F.lit(True))
+
+
+def _present_field_count(value: Column, dtype: StructType) -> Column:
+    n = F.lit(0)
+    for f_ in dtype.fields:
+        n = n + F.when(value.getField(f_.name).isNotNull(), 1).otherwise(0)
+    return F.when(value.isNull(), F.lit(None)).otherwise(n)
+
+
+def _enum_predicate(members: list, value: Column, dtype: DataType) -> Column:
+    scalars = []
+    for m in members:
+        if isinstance(m, (dict, list)):
+            raise CompileError(
+                "composite enum members not supported on typed columns")
+        if m is None:
+            continue
+        if isinstance(m, bool):
+            if isinstance(dtype, BooleanType):
+                scalars.append(m)
+        elif isinstance(m, (int, float)):
+            if _is_numeric(dtype):
+                scalars.append(m)
+        elif isinstance(m, str):
+            if isinstance(dtype, StringType):
+                scalars.append(m)
+    if not scalars:
+        # no member is expressible for this dtype — only absent passes
+        return value.isNull()
+    return value.isNull() | F.coalesce(value.isin(scalars), F.lit(False))
+
+
+def _properties_predicate(arg: dict, schema: dict, value: Column,
+                          dtype: DataType, ctx: CompileContext,
+                          _depth: int) -> Optional[Column]:
+    draft3 = ctx.draft == E.DRAFT3
+    if isinstance(dtype, StructType):
+        by_name = {f_.name: f_ for f_ in dtype.fields}
+        out = _true()
+        for name, sub in arg.items():
+            if not isinstance(sub, dict):
+                continue
+            fld = by_name.get(name)
+            if fld is None:
+                if draft3 and sub.get("required") is True:
+                    out = out & F.lit(False)
+                continue
+            child = value.getField(name)
+            out = out & compile_predicate(sub, child, fld.dataType, ctx,
+                                          _depth + 1)
+            if draft3 and sub.get("required") is True:
+                out = out & child.isNotNull()
+        return value.isNull() | F.coalesce(out, F.lit(False))
+    if isinstance(dtype, MapType):
+        out = _true()
+        for name, sub in arg.items():
+            if not isinstance(sub, dict):
+                continue
+            child = F.element_at(value, F.lit(name))
+            out = out & compile_predicate(sub, child, dtype.valueType, ctx,
+                                          _depth + 1)
+            if draft3 and sub.get("required") is True:
+                out = out & F.map_contains_key(value, F.lit(name))
+        return value.isNull() | F.coalesce(out, F.lit(False))
+    return None  # not an object column — vacuous
+
+
+def _required_predicate(names: list, value: Column,
+                        dtype: DataType) -> Optional[Column]:
+    if isinstance(dtype, StructType):
+        by_name = {f_.name for f_ in dtype.fields}
+        out = _true()
+        for name in names:
+            if name in by_name:
+                out = out & value.getField(name).isNotNull()
+            else:
+                out = out & F.lit(False)
+        return value.isNull() | F.coalesce(out, F.lit(False))
+    if isinstance(dtype, MapType):
+        out = _true()
+        for name in names:
+            out = out & F.map_contains_key(value, F.lit(name))
+        return value.isNull() | F.coalesce(out, F.lit(False))
+    return None
+
+
+def _dependencies_predicate(deps: dict, value: Column, dtype: DataType,
+                            ctx: CompileContext,
+                            _depth: int) -> Optional[Column]:
+    def has(name: str) -> Column:
+        if isinstance(dtype, StructType):
+            if name in {f_.name for f_ in dtype.fields}:
+                return value.getField(name).isNotNull()
+            return F.lit(False)
+        return F.map_contains_key(value, F.lit(name))
+
+    if not isinstance(dtype, (StructType, MapType)):
+        return None
+    out = _true()
+    for dep_name, dep in deps.items():
+        trigger = has(dep_name)
+        if isinstance(dep, str):
+            req: Column = has(dep)
+        elif isinstance(dep, list):
+            req = _true()
+            for member in dep:
+                if isinstance(member, str):
+                    req = req & has(member)
+        elif isinstance(dep, dict):
+            req = F.coalesce(
+                compile_predicate(dep, value, dtype, ctx, _depth + 1),
+                F.lit(True))
+        else:
+            raise CompileError("wrong_type_dependency in schema")
+        out = out & (~F.coalesce(trigger, F.lit(False)) | req)
+    return value.isNull() | F.coalesce(out, F.lit(False))
+
+
+def _map_properties_predicate(kw: str, arg: Any, schema: dict, value: Column,
+                              dtype: DataType, ctx: CompileContext,
+                              _depth: int) -> Optional[Column]:
+    if not isinstance(dtype, MapType):
+        if isinstance(dtype, StructType) and kw == "additionalProperties" \
+                and arg is False:
+            known = set((schema.get("properties") or {}).keys())
+            import re as _re
+            patterns = list((schema.get("patternProperties") or {}).keys())
+            out = _true()
+            for f_ in dtype.fields:
+                if f_.name in known:
+                    continue
+                if any(_re.search(p, f_.name) for p in patterns):
+                    continue
+                out = out & value.getField(f_.name).isNull()
+            return value.isNull() | F.coalesce(out, F.lit(False))
+        return None
+    if kw == "patternProperties" and isinstance(arg, dict):
+        out = _true()
+        for pattern, sub in arg.items():
+            out = out & F.forall(
+                F.map_entries(value),
+                lambda e, p=pattern, s=sub: ~e.getField("key").rlike(p)
+                | _rebind_predicate(s, e.getField("value"),
+                                    dtype.valueType, ctx, _depth))
+        return value.isNull() | F.coalesce(out, F.lit(False))
+    if kw == "additionalProperties":
+        if arg is True:
+            return None
+        known = list((schema.get("properties") or {}).keys())
+        patterns = list((schema.get("patternProperties") or {}).keys())
+
+        def is_extra(e: Column) -> Column:
+            k = e.getField("key")
+            cond = ~k.isin(known) if known else F.lit(True)
+            for p in patterns:
+                cond = cond & ~k.rlike(p)
+            return cond
+
+        if arg is False:
+            out = F.forall(F.map_entries(value), lambda e: ~is_extra(e))
+        elif isinstance(arg, dict):
+            out = F.forall(
+                F.map_entries(value),
+                lambda e: ~is_extra(e) | _rebind_predicate(
+                    arg, e.getField("value"), dtype.valueType, ctx, _depth))
+        else:
+            return None
+        return value.isNull() | F.coalesce(out, F.lit(False))
+    return None
+
+
+def _divisible_exact(value: Column, divisor: Any) -> Column:
+    """Jesse-exact float modulo: ``(V/D - trunc(V/D)) * D == 0.0``
+    (`jesse_validator_draft3.erl:806-815`); divisor 0 ⇒ always invalid."""
+    if divisor == 0:
+        return F.lit(False)
+    q = value.cast("double") / F.lit(float(divisor))
+    return (q - q.cast("long").cast("double")) * F.lit(float(divisor)) \
+        == F.lit(0.0)
+
+
+def _multiple_of(value: Column, divisor: Any) -> Column:
+    if not isinstance(divisor, (int, float)) or isinstance(divisor, bool) \
+            or divisor <= 0:
+        raise CompileError("multipleOf must be a positive number")
+    q = value.cast("double") / F.lit(float(divisor))
+    tol = F.lit(1e-9) * F.greatest(F.lit(1.0), F.abs(q))
+    return F.abs(q - F.round(q)) <= tol
+
+
+# ---------------------------------------------------------------------------
+# violation compiler — per-keyword violation rows with pointer paths
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CompiledPlan:
+    """A compiled validator: one Column producing array<violation>."""
+
+    schema: dict
+    draft: str
+    checks: list[Column] = field(default_factory=list)        # viol-or-null
+    array_checks: list[Column] = field(default_factory=list)  # array<viol>
+
+    def violations_column(self) -> Column:
+        parts: list[Column] = []
+        if self.checks:
+            parts.append(F.array_compact(F.array(*self.checks)))
+        parts.extend(self.array_checks)
+        if not parts:
+            return _empty_violations()
+        out = parts[0] if len(parts) == 1 else F.concat(*parts)
+        return F.coalesce(out, _empty_violations())
+
+
+def compile_plan(schema: dict, struct_type: StructType, *,
+                 draft: str = E.DRAFT4, registry=None) -> CompiledPlan:
+    """Compile an object schema against a DataFrame's StructType. Top-level
+    ``properties`` map to columns; everything else composes recursively."""
+    ctx = CompileContext(draft=draft, registry=registry, root_schema=schema)
+    plan = CompiledPlan(schema=schema, draft=draft)
+    root = _deref(ctx, schema)
+    by_name = {f_.name: f_ for f_ in struct_type.fields}
+    draft3 = draft == E.DRAFT3
+
+    for kw, arg in root.items():
+        if kw == "properties" and isinstance(arg, dict):
+            for name, sub in arg.items():
+                if not isinstance(sub, dict):
+                    continue
+                fld = by_name.get(name)
+                sptr = "/properties/" + E.pointer_escape(name)
+                if fld is None:
+                    if draft3 and sub.get("required") is True:
+                        plan.checks.append(_viol(
+                            E.MISSING_REQUIRED_PROPERTY, F.lit(""), sptr,
+                            F.lit(""), detail=name))
+                    continue
+                col = F.col(name)
+                if draft3 and sub.get("required") is True:
+                    plan.checks.append(F.when(col.isNull(), _viol(
+                        E.MISSING_REQUIRED_PROPERTY, F.lit(""), sptr,
+                        F.lit(""), detail=name)))
+                s, a = _compile_checks(
+                    sub, col, fld.dataType,
+                    F.lit("/" + E.pointer_escape(name)), sptr, ctx, 0)
+                plan.checks.extend(s)
+                plan.array_checks.extend(a)
+        elif kw == "required" and not draft3 and isinstance(arg, list):
+            for name in arg:
+                sptr = "/required"
+                if name in by_name:
+                    plan.checks.append(F.when(F.col(name).isNull(), _viol(
+                        E.MISSING_REQUIRED_PROPERTY, F.lit(""), sptr,
+                        F.lit(""), detail=name)))
+                else:
+                    plan.checks.append(_viol(
+                        E.MISSING_REQUIRED_PROPERTY, F.lit(""), sptr,
+                        F.lit(""), detail=name))
+        elif kw == "type":
+            continue  # the row is the object — statically satisfied
+        else:
+            # whole-row keywords (allOf/anyOf/... over the row struct) —
+            # compile as a predicate over a synthetic struct of all columns
+            row = F.struct(*[F.col(f_.name) for f_ in struct_type.fields])
+            p = _keyword_predicate(kw, arg, root, row, struct_type, ctx, 0)
+            if p is not None:
+                plan.checks.append(F.when(
+                    ~F.coalesce(p, F.lit(True)),
+                    _viol(_atom_for(kw), F.lit(""), "/" + kw, F.lit(""))))
+    return plan
+
+
+def _atom_for(kw: str) -> str:
+    return {
+        "anyOf": E.ANY_SCHEMAS_NOT_VALID,
+        "oneOf": E.NOT_ONE_SCHEMA_VALID,
+        "not": E.NOT_SCHEMA_VALID,
+        "allOf": E.ALL_SCHEMAS_NOT_VALID,
+        "enum": E.NOT_IN_RANGE,
+        "minimum": E.NOT_IN_RANGE,
+        "maximum": E.NOT_IN_RANGE,
+        "dependencies": E.MISSING_DEPENDENCY,
+        "disallow": E.NOT_ALLOWED,
+        "minProperties": E.WRONG_SIZE,
+        "maxProperties": E.WRONG_SIZE,
+        "additionalProperties": E.NO_EXTRA_PROPERTIES_ALLOWED,
+        "patternProperties": E.WRONG_TYPE,
+    }.get(kw, E.WRONG_TYPE)
+
+
+def _compile_checks(schema: dict, value: Column, dtype: DataType,
+                    path: Column, sptr: str, ctx: CompileContext,
+                    depth: int) -> tuple[list[Column], list[Column]]:
+    """Violation-emitting compile for one value/schema pair. Returns
+    (scalar checks, array checks) — scalar = viol-struct-or-null Column."""
+    if depth > 48:
+        raise CompileError("schema nesting too deep")
+    schema = _deref(ctx, schema)
+    scalars: list[Column] = []
+    arrays: list[Column] = []
+    draft3 = ctx.draft == E.DRAFT3
+    vj = _value_json(value, dtype)
+
+    def add(kw: str, atom: str, pred: Column, v: Column = None) -> None:
+        scalars.append(F.when(~F.coalesce(pred, F.lit(True)),
+                              _viol(atom, path, sptr + "/" + kw,
+                                    vj if v is None else v)))
+
+    for kw, arg in schema.items():
+        if kw == "type":
+            add(kw, E.WRONG_TYPE,
+                _type_predicate(arg, value, dtype, ctx, depth))
+        elif kw == "enum" and isinstance(arg, list):
+            add(kw, E.NOT_IN_RANGE, _enum_predicate(arg, value, dtype))
+        elif kw in ("minimum", "maximum") and _is_numeric(dtype):
+            add(kw, E.NOT_IN_RANGE,
+                _keyword_predicate(kw, arg, schema, value, dtype, ctx, depth))
+        elif kw == "divisibleBy" and draft3 and _is_numeric(dtype):
+            add(kw, E.NOT_DIVISIBLE, _ns(_divisible_exact(value, arg)))
+        elif kw == "multipleOf" and not draft3 and _is_numeric(dtype):
+            add(kw, E.NOT_DIVISIBLE, _ns(_multiple_of(value, arg)))
+        elif kw == "minLength" and isinstance(dtype, StringType):
+            add(kw, E.WRONG_LENGTH, _ns(F.length(value) >= F.lit(arg)))
+        elif kw == "maxLength" and isinstance(dtype, StringType):
+            add(kw, E.WRONG_LENGTH, _ns(F.length(value) <= F.lit(arg)))
+        elif kw == "pattern" and isinstance(dtype, StringType):
+            add(kw, E.NO_MATCH, _ns(value.rlike(arg)))
+        elif kw == "minItems" and isinstance(dtype, ArrayType):
+            add(kw, E.WRONG_SIZE, _ns(F.size(value) >= F.lit(arg)))
+        elif kw == "maxItems" and isinstance(dtype, ArrayType):
+            add(kw, E.WRONG_SIZE, _ns(F.size(value) <= F.lit(arg)))
+        elif kw == "uniqueItems" and arg is True and isinstance(dtype, ArrayType):
+            add(kw, E.NOT_UNIQUE,
+                _ns(F.size(F.array_distinct(value)) == F.size(value)))
+        elif kw == "items" and isinstance(dtype, ArrayType) \
+                and isinstance(arg, dict):
+            arrays.append(_items_violations(arg, value, dtype, path,
+                                            sptr + "/items", ctx, depth))
+        elif kw == "properties" and isinstance(arg, dict) \
+                and isinstance(dtype, StructType):
+            for name, sub in arg.items():
+                if not isinstance(sub, dict):
+                    continue
+                fld = next((f_ for f_ in dtype.fields if f_.name == name),
+                           None)
+                child_sptr = sptr + "/properties/" + E.pointer_escape(name)
+                if fld is None:
+                    if draft3 and sub.get("required") is True:
+                        scalars.append(F.when(value.isNotNull(), _viol(
+                            E.MISSING_REQUIRED_PROPERTY, path, child_sptr,
+                            vj, detail=name)))
+                    continue
+                child = value.getField(name)
+                child_path = F.concat(
+                    path, F.lit("/" + E.pointer_escape(name)))
+                if draft3 and sub.get("required") is True:
+                    scalars.append(F.when(
+                        value.isNotNull() & child.isNull(), _viol(
+                            E.MISSING_REQUIRED_PROPERTY, path, child_sptr,
+                            vj, detail=name)))
+                s, a = _compile_checks(sub, child, fld.dataType, child_path,
+                                       child_sptr, ctx, depth + 1)
+                scalars.extend(s)
+                arrays.extend(a)
+        elif kw == "required" and not draft3 and isinstance(arg, list) \
+                and isinstance(dtype, StructType):
+            names = {f_.name for f_ in dtype.fields}
+            for name in arg:
+                if name in names:
+                    cond = value.isNotNull() \
+                        & value.getField(name).isNull()
+                else:
+                    cond = value.isNotNull()
+                scalars.append(F.when(cond, _viol(
+                    E.MISSING_REQUIRED_PROPERTY, path, sptr + "/required",
+                    vj, detail=name)))
+        elif kw in ("allOf", "anyOf", "oneOf", "not", "disallow", "extends",
+                    "dependencies", "minProperties", "maxProperties",
+                    "patternProperties", "additionalProperties", "required",
+                    "properties"):
+            p = _keyword_predicate(kw, arg, schema, value, dtype, ctx, depth)
+            if p is not None:
+                kind_atom = _atom_for(kw)
+                scalars.append(F.when(~F.coalesce(p, F.lit(True)),
+                                      _viol(kind_atom, path, sptr + "/" + kw,
+                                            vj)))
+        # format and unknown keywords: vacuous
+    return scalars, arrays
+
+
+def _items_violations(item_schema: dict, value: Column, dtype: ArrayType,
+                      path: Column, sptr: str, ctx: CompileContext,
+                      depth: int) -> Column:
+    """Per-element violations with dynamic 0-based pointer indices —
+    jesse pushes the index per element (`jesse_validator_draft3.erl:488-503`);
+    we build it inside a transform lambda, still fully JVM-side."""
+    elem_type = dtype.elementType
+
+    def per_element(x: Column, i: Column) -> Column:
+        elem_path = F.concat(path, F.lit("/"), i.cast("string"))
+        s, a = _compile_checks(item_schema, x, elem_type, elem_path, sptr,
+                               ctx, depth + 1)
+        parts: list[Column] = []
+        if s:
+            parts.append(F.array_compact(F.array(*s)))
+        parts.extend(a)
+        if not parts:
+            return _empty_violations()
+        return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+    nested = F.transform(value, per_element)
+    return F.coalesce(F.flatten(nested), _empty_violations())
