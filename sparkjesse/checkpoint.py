@@ -1,0 +1,129 @@
+"""Per-partition checkpoint/resume ledger (north rule).
+
+A long validation run over a 10^12-row table is driven as a sequence of
+*input-partition batches* (e.g. Iceberg partitions / parquet file groups).
+After each batch, one ledger row is appended atomically:
+
+    (partition_id, status, plan_hash, snapshot_id, attempt,
+     docs, pass, fail, ts)
+
+``plan_hash`` fingerprints the compiled schema + engine version and
+``snapshot_id`` the input snapshot, so a resumed run only skips work whose
+lineage matches — change the schema and everything re-runs. On restart,
+``pending_partitions`` anti-joins the done set. The ledger itself is tiny
+(one row per partition), stored as JSON-lines per-partition files so the
+"append" is an atomic file create — no read-modify-write races between
+attempts. Iceberg would give us this via snapshots; the sandbox has no
+Iceberg runtime jar, so the ledger is engine code with the same contract
+(SURVEY.md §4.2 "checkpoint/resume ledger").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Callable, Iterable, Optional
+
+from pyspark.sql import DataFrame
+
+
+def plan_hash(schema: dict, extra: str = "") -> str:
+    payload = json.dumps(schema, sort_keys=True) + "|" + extra
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+@dataclass
+class LedgerEntry:
+    partition_id: str
+    status: str            # done | failed
+    plan_hash: str
+    snapshot_id: str
+    attempt: int
+    metrics: dict = field(default_factory=dict)
+    ts: float = 0.0
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "partition_id": self.partition_id, "status": self.status,
+            "plan_hash": self.plan_hash, "snapshot_id": self.snapshot_id,
+            "attempt": self.attempt, "metrics": self.metrics, "ts": self.ts,
+        }, sort_keys=True)
+
+
+class CheckpointLedger:
+    def __init__(self, path: str) -> None:
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _read_all(self) -> list[LedgerEntry]:
+        out = []
+        for name in sorted(os.listdir(self.path)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(self.path, name), encoding="utf-8") as fh:
+                for line in fh:
+                    if line.strip():
+                        d = json.loads(line)
+                        out.append(LedgerEntry(**d))
+        return out
+
+    def record(self, entry: LedgerEntry) -> None:
+        """Atomic append: write a unique temp file then rename (same-dir
+        rename is atomic on POSIX)."""
+        entry.ts = entry.ts or time.time()
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
+        final = os.path.join(
+            self.path,
+            f"{entry.partition_id}-{entry.attempt}-{uuid.uuid4().hex[:8]}.json")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(entry.to_json() + "\n")
+        os.rename(tmp, final)
+
+    def done_partitions(self, plan: str, snapshot: str) -> set[str]:
+        return {e.partition_id for e in self._read_all()
+                if e.status == "done" and e.plan_hash == plan
+                and e.snapshot_id == snapshot}
+
+    def attempts(self, partition_id: str) -> int:
+        return sum(1 for e in self._read_all()
+                   if e.partition_id == partition_id)
+
+    def metrics_rows(self) -> list[dict]:
+        return [json.loads(e.to_json()) for e in self._read_all()]
+
+
+def run_with_checkpoints(
+    partitions: Iterable[str],
+    process: Callable[[str], dict],
+    ledger: CheckpointLedger,
+    *,
+    plan: str,
+    snapshot: str,
+) -> dict:
+    """Drive a partition-batched run with resume. ``process(pid)`` validates
+    one input partition and returns its metrics dict; completed (plan,
+    snapshot, partition) triples are skipped on re-entry. Raising inside
+    ``process`` records a ``failed`` attempt and re-raises (so a killed /
+    crashed run leaves lineage + metrics rows intact — the resume test
+    kills mid-run and restarts)."""
+    done = ledger.done_partitions(plan, snapshot)
+    skipped, ran = [], []
+    for pid in partitions:
+        if pid in done:
+            skipped.append(pid)
+            continue
+        attempt = ledger.attempts(pid) + 1
+        try:
+            metrics = process(pid)
+        except Exception as exc:
+            ledger.record(LedgerEntry(pid, "failed", plan, snapshot, attempt,
+                                      {"error": str(exc)[:500]}))
+            raise
+        ledger.record(LedgerEntry(pid, "done", plan, snapshot, attempt,
+                                  metrics))
+        ran.append(pid)
+    return {"ran": ran, "skipped": skipped}

@@ -1,0 +1,190 @@
+"""Dataset-level checks — the aggregations the reference never had
+(SURVEY.md §2.6): per-column stats, HLL cardinality, key uniqueness,
+referential integrity, and KS/PSI distribution drift.
+
+All expression/aggregate-only: partial aggregation is map-side, HLL via
+``approx_count_distinct`` sketches, referential checks via broadcast
+left-anti joins, drift via fixed-bucket histograms + window cumulative
+sums. No Python UDFs anywhere in this module — every check scales to the
+10^12-row design point by construction.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# ---------------------------------------------------------------------------
+# column stats
+# ---------------------------------------------------------------------------
+
+def column_stats(df: DataFrame, cols: Optional[Sequence[str]] = None,
+                 *, rsd: float = 0.02) -> DataFrame:
+    """One row per column: count, nulls, null_rate, min, max,
+    approx_distinct (HLL, relative sd ``rsd``). Single aggregation pass —
+    one job, one shuffle-free partial+final agg; min/max rendered as strings
+    so the output schema is uniform across column types."""
+    if cols is None:
+        cols = [f.name for f in df.schema.fields]
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n__")]
+    for c in cols:
+        dt = df.schema[c].dataType
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        sortable = not str(dt).startswith(("ArrayType", "MapType", "StructType"))
+        if sortable:
+            aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__min"))
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__max"))
+        if sortable:
+            aggs.append(F.approx_count_distinct(c, rsd).alias(f"{c}__card"))
+        else:
+            aggs.append(F.lit(None).cast("long").alias(f"{c}__card"))
+    row = df.agg(*aggs)
+    # unpivot into one row per column with a stack expression (no shuffle)
+    n_cols = len(cols)
+    stack_args = []
+    for c in cols:
+        stack_args.append(f"'{c}'")
+        stack_args.append(f"`{c}__nulls`")
+        stack_args.append(f"`{c}__min`")
+        stack_args.append(f"`{c}__max`")
+        stack_args.append(f"`{c}__card`")
+    expr = (f"stack({n_cols}, {', '.join(stack_args)}) as "
+            f"(column, nulls, min, max, approx_distinct)")
+    return (row.select(F.col("__n__").alias("count"), F.expr(expr))
+               .select("column", "count", "nulls",
+                       (F.col("nulls") / F.col("count")).alias("null_rate"),
+                       "min", "max", "approx_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# uniqueness
+# ---------------------------------------------------------------------------
+
+def duplicate_keys(df: DataFrame, key_col: str) -> DataFrame:
+    """Keys appearing more than once (exact). groupBy on the key —
+    partial counts map-side, so shuffle volume is #distinct keys, not
+    #rows."""
+    return (df.groupBy(key_col)
+              .agg(F.count(F.lit(1)).alias("occurrences"))
+              .where(F.col("occurrences") > 1))
+
+
+def uniqueness_metrics(df: DataFrame, key_col: str) -> dict:
+    """{rows, distinct, duplicates, approx_distinct}. The approx figure is
+    the cheap 100 TB screen (one HLL pass, no shuffle); exact distinct is
+    the confirmatory count."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count_distinct(F.col(key_col)).alias("distinct"),
+        F.approx_count_distinct(key_col, 0.02).alias("approx_distinct"),
+    ).collect()[0]
+    return {
+        "rows": row["rows"],
+        "distinct": row["distinct"],
+        "duplicates": row["rows"] - row["distinct"],
+        "approx_distinct": row["approx_distinct"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# referential integrity
+# ---------------------------------------------------------------------------
+
+def dangling_references(df: DataFrame, fk_col: str, ref_df: DataFrame,
+                        ref_col: str, *,
+                        broadcast_ref: bool = True) -> DataFrame:
+    """Rows of ``df`` whose non-null ``fk_col`` has no match in
+    ``ref_df[ref_col]`` — left-anti join, reference side broadcast when it
+    fits (dimension tables at 100 TB scale are still small; a broadcast
+    anti-join is shuffle-free on the fact side)."""
+    ref = ref_df.select(F.col(ref_col).alias("__ref__")).dropDuplicates()
+    if broadcast_ref:
+        ref = F.broadcast(ref)
+    return (df.where(F.col(fk_col).isNotNull())
+              .join(ref, F.col(fk_col) == F.col("__ref__"), "left_anti"))
+
+
+# ---------------------------------------------------------------------------
+# histograms + KS / PSI drift
+# ---------------------------------------------------------------------------
+
+def fixed_histogram(df: DataFrame, value: Column | str, *, lo: float,
+                    hi: float, buckets: int = 20) -> DataFrame:
+    """Fixed-bucket histogram (bucket, n, p). Values are clamped into
+    [lo, hi]; bucket ids are 0..buckets-1. Pure floor arithmetic so the
+    same definition runs in any SQL engine (oracle-checkable)."""
+    v = F.col(value) if isinstance(value, str) else value
+    width = (hi - lo) / buckets
+    bucket = F.least(
+        F.lit(buckets - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)))
+    ).cast("int").alias("bucket")
+    counts = (df.where(v.isNotNull()).select(bucket)
+                .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.select("bucket", "n", (F.col("n") / total).alias("p"))
+
+
+def categorical_histogram(df: DataFrame, value: Column | str) -> DataFrame:
+    v = F.col(value) if isinstance(value, str) else value
+    counts = (df.select(v.alias("category")).groupBy("category")
+                .agg(F.count(F.lit(1)).alias("n")))
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.select("category", "n", (F.col("n") / total).alias("p"))
+
+
+def psi_from_histograms(cur: DataFrame, base: DataFrame, key: str = "bucket",
+                        *, eps: float = 1e-6) -> float:
+    """Population Stability Index between two histograms sharing ``key``:
+    Σ (p−q)·ln(p/q), eps-smoothed. Full outer join on the (tiny) histogram
+    rows — driver-side scalar out."""
+    joined = (
+        cur.select(key, F.col("p").alias("p_cur"))
+        .join(base.select(key, F.col("p").alias("p_base")), on=key,
+              how="full_outer")
+        .select(F.coalesce("p_cur", F.lit(0.0)).alias("p"),
+                F.coalesce("p_base", F.lit(0.0)).alias("q"))
+        .select(((F.col("p") - F.col("q"))
+                 * F.log((F.col("p") + eps) / (F.col("q") + eps)))
+                .alias("term"))
+    )
+    out = joined.agg(F.sum("term")).collect()[0][0]
+    return float(out or 0.0)
+
+
+def ks_from_histograms(cur: DataFrame, base: DataFrame,
+                       key: str = "bucket") -> float:
+    """Kolmogorov–Smirnov statistic approximated on shared fixed buckets:
+    max |CDF_cur − CDF_base| via window cumulative sums."""
+    w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, 0)
+    joined = (
+        cur.select(key, F.col("p").alias("p_cur"))
+        .join(base.select(key, F.col("p").alias("p_base")), on=key,
+              how="full_outer")
+        .fillna(0.0, ["p_cur", "p_base"])
+        .select(key, F.sum("p_cur").over(w).alias("cdf_cur"),
+                F.sum("p_base").over(w).alias("cdf_base"))
+        .select(F.abs(F.col("cdf_cur") - F.col("cdf_base")).alias("d"))
+    )
+    out = joined.agg(F.max("d")).collect()[0][0]
+    return float(out or 0.0)
+
+
+def drift_report(cur: DataFrame, base: DataFrame, value: Column | str, *,
+                 lo: float, hi: float, buckets: int = 20) -> dict:
+    hc = fixed_histogram(cur, value, lo=lo, hi=hi, buckets=buckets)
+    hb = fixed_histogram(base, value, lo=lo, hi=hi, buckets=buckets)
+    hc.cache(); hb.cache()
+    try:
+        return {"psi": psi_from_histograms(hc, hb),
+                "ks": ks_from_histograms(hc, hb)}
+    finally:
+        hc.unpersist(); hb.unpersist()

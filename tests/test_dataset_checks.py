@@ -1,0 +1,85 @@
+"""Dataset-level checks vs known answers (and DuckDB-checkable shapes)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkjesse import dataset_checks as dc
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_column_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (None, "a")],
+        "x long, s string")
+    stats = {r["column"]: r for r in dc.column_stats(df).collect()}
+    assert stats["x"]["count"] == 4
+    assert stats["x"]["nulls"] == 1
+    assert stats["x"]["null_rate"] == 0.25
+    assert stats["x"]["min"] == "1" and stats["x"]["max"] == "3"
+    assert stats["s"]["approx_distinct"] == 2
+
+
+def test_column_stats_on_real_parquet(docs):
+    stats = {r["column"]: r for r in dc.column_stats(docs).collect()}
+    assert stats["doc_id"]["count"] == 500
+    assert stats["doc_id"]["nulls"] == 0
+    # HLL at 2% rsd should land near 500 distinct ids
+    assert abs(stats["doc_id"]["approx_distinct"] - 500) <= 25
+
+
+def test_duplicate_keys(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("a",), ("c",), ("a",)], "k string")
+    dups = dc.duplicate_keys(df, "k").collect()
+    assert [(r["k"], r["occurrences"]) for r in dups] == [("a", 3)]
+    m = dc.uniqueness_metrics(df, "k")
+    assert (m["rows"], m["distinct"], m["duplicates"]) == (5, 3, 2)
+
+
+def test_dangling_references(spark):
+    facts = spark.createDataFrame(
+        [(1, "m1"), (2, "m2"), (3, "m999"), (4, None)],
+        "id long, ref string")
+    dims = spark.createDataFrame([("m1",), ("m2",), ("m3",)], "media string")
+    dangling = dc.dangling_references(facts, "ref", dims, "media")
+    assert [r["id"] for r in dangling.collect()] == [3]
+    # broadcast hint visible in plan
+    plan = dangling._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_histogram_and_psi_ks_zero_drift(spark):
+    df = spark.range(1000).select((F.col("id") % 100).alias("v"))
+    h = dc.fixed_histogram(df, "v", lo=0, hi=100, buckets=10)
+    rows = h.collect()
+    assert len(rows) == 10
+    assert all(abs(r["p"] - 0.1) < 1e-9 for r in rows)
+    # identical distributions ⇒ psi == ks == 0
+    rep = dc.drift_report(df, df, "v", lo=0, hi=100, buckets=10)
+    assert rep["psi"] == pytest.approx(0.0, abs=1e-9)
+    assert rep["ks"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_psi_ks_detect_shift(spark):
+    base = spark.range(2000).select((F.col("id") % 100).alias("v"))
+    cur = spark.range(2000).select(
+        (F.col("id") % 50 + 50).alias("v"))  # mass moved to upper half
+    rep = dc.drift_report(cur, base, "v", lo=0, hi=100, buckets=10)
+    assert rep["psi"] > 0.5
+    assert rep["ks"] == pytest.approx(0.5, abs=0.05)
+
+
+def test_ks_matches_closed_form(spark):
+    """Uniform [0,100) vs uniform [0,50): KS = 0.5 at x=50."""
+    a = spark.range(1000).select((F.col("id") % 100).alias("v"))
+    b = spark.range(1000).select((F.col("id") % 50).alias("v"))
+    rep = dc.drift_report(a, b, "v", lo=0, hi=100, buckets=20)
+    assert rep["ks"] == pytest.approx(0.5, abs=0.02)
