@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship validation over sf0.001 documents.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 +
+training-data pipeline ops); each callable takes (spark, sf_dir).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query.
+
+Cross-engine determinism: every hash is md5 over explicit strings,
+min-hashes are lexicographic minima of md5 hex digests, dot products are
+left folds in index order over doubles, and drift statistics fold over
+buckets in ascending order — so Spark and DuckDB produce bit-identical
+values (see sparkjesse.textops / dedup / similarity docstrings).
 """
 
 from __future__ import annotations
@@ -12,27 +17,576 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from sparkjesse import dataset_checks as dc
+from sparkjesse import dedup, similarity, textops
+from sparkjesse.engine import ValidationEngine
+from sparkjesse.errors import DRAFT3
+
+# ---------------------------------------------------------------------------
+# schemas under test
+# ---------------------------------------------------------------------------
+
+# full draft4 constraint set over the driver's `documents` table —
+# enum + pattern + range + length checks (jesse keyword parity, compiled
+# to Catalyst predicates by sparkjesse.compiler)
+DOC_SCHEMA = {
+    "$schema": "http://json-schema.org/draft-04/schema#",
+    "type": "object",
+    "required": ["doc_id", "text", "lang", "source", "n_chars"],
+    "properties": {
+        "doc_id": {"type": "integer", "minimum": 0},
+        "lang": {"enum": ["en", "es", "de", "fr"]},
+        "source": {"type": "string", "pattern": "^src[0-9]$"},
+        "n_chars": {"type": "integer", "minimum": 50, "maximum": 500},
+        "text": {"type": "string", "minLength": 60, "pattern": "^[a-z ]+$"},
+    },
+}
+
+TOKENS_SCHEMA = {
+    "$schema": "http://json-schema.org/draft-04/schema#",
+    "type": "object",
+    "properties": {
+        "tokens": {"type": "array", "minItems": 5, "maxItems": 200,
+                   "uniqueItems": True},
+    },
+}
+
+DIVISIBLE_SCHEMA = {  # draft3 divisibleBy (jesse_validator_draft3.erl:806)
+    "type": "object",
+    "properties": {"n_chars": {"divisibleBy": 7}},
+}
+
+MAP_PROPS_SCHEMA = {  # patternProperties + additionalProperties on MapType
+    "$schema": "http://json-schema.org/draft-04/schema#",
+    "type": "object",
+    "properties": {
+        "m": {
+            "type": "object",
+            "patternProperties": {"^lang$": {"enum": ["en", "es", "de",
+                                                      "fr"]}},
+            "additionalProperties": {"pattern": "^src[0-9]$"},
+        },
+    },
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship: compiled-schema validation summary per lang
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: validate sf0.001 documents against the full draft4
+    constraint set and report per-lang pass/fail."""
+    return _validate_summary(spark, "/root/testdata/sf0.001")
 
+
+def _validate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    res = ValidationEngine().validate(df, DOC_SCHEMA)
+    return (res.annotated
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum(F.col("valid").cast("long")).alias("pass"),
+                 F.sum((~F.col("valid")).cast("long")).alias("fail")))
+
+
+def _validate_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    res = ValidationEngine().validate(df, DOC_SCHEMA)
+    return res.violations.select("doc_id", "error_type", "path",
+                                 "schema_ptr", "value_json")
+
+
+def _kw_uniqueitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("tokens"))
+    res = ValidationEngine().validate(df, TOKENS_SCHEMA)
+    return res.annotated.select(
+        "doc_id", "valid", F.size("violations").alias("n_violations"))
+
+
+def _kw_divisible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    res = ValidationEngine().validate(df, DIVISIBLE_SCHEMA, draft=DRAFT3)
+    return res.annotated.select("doc_id", "valid")
+
+
+def _kw_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.create_map(F.lit("lang"), F.col("lang"),
+                     F.lit("source"), F.col("source")).alias("m"))
+    res = ValidationEngine().validate(df, MAP_PROPS_SCHEMA)
+    return res.annotated.select("doc_id", "valid")
+
+
+# -- dataset checks ---------------------------------------------------------
+
+def _ds_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return (dc.column_stats(df, ["doc_id", "lang", "source", "n_chars"],
+                            exact=True)
+            .withColumnRenamed("approx_distinct", "n_distinct"))
+
+
+def _ds_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dc.duplicate_keys(_t(spark, sf_dir, "events"), "user_id")
+
+
+def _ds_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (dc.dangling_references(li, "l_partkey", part, "p_partkey")
+            .groupBy().agg(F.count(F.lit(1)).alias("dangling")))
+
+
+def _ds_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse referential: dimension rows never referenced by the fact
+    table (left-anti with the fact side as reference set)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (dc.dangling_references(part, "p_partkey", li, "l_partkey",
+                                   broadcast_ref=False)
+            .select("p_partkey"))
+
+
+def _ds_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (dc.fixed_histogram(ev, "value", lo=0.0, hi=500.0, buckets=20)
+            .select("bucket", "n", F.round("p", 6).alias("p")))
+
+
+def _ds_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cur = ev.where(F.col("event_type") == "click")
+    base = ev.where(F.col("event_type") == "view")
+    return dc.drift_frame(cur, base, "value", lo=0.0, hi=500.0, buckets=20)
+
+
+# -- text analysis ----------------------------------------------------------
+
+def _txt_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_stats(_docs(spark, sf_dir))
+
+
+def _txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_features(_docs(spark, sf_dir))
+
+
+def _txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.language_id(_docs(spark, sf_dir))
+
+
+def _txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.fingerprints(_docs(spark, sf_dir))
+
+
+# -- deduplication ----------------------------------------------------------
+
+def _dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    key = F.array_join(F.slice(F.split("text", " "), 1, 3), " ")
+    return dedup.exact_duplicate_groups(df, key)
+
+
+def _dd_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(_docs(spark, sf_dir), bands=4,
+                                     rows_per_band=2)
+
+
+def _dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir), bits=16)
+
+
+def _dd_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).where(F.col("doc_id") < 40)
+    pairs = (df.alias("a").select(F.col("doc_id").alias("id_a"))
+             .join(df.alias("b").select(F.col("doc_id").alias("id_b")),
+                   F.col("id_a") < F.col("id_b")))
+    return dedup.ngram_jaccard_pairs(df, pairs, min_jaccard=0.0)
+
+
+def _dd_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return dedup.embedding_near_duplicates(emb, threshold=0.30)
+
+
+# -- similarity search ------------------------------------------------------
+
+def _sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb.where(F.col("vec_id") < 8), emb,
+                                       k=5)
+
+
+def _sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_bucketed(emb.where(F.col("vec_id") < 8), emb,
+                                        k=3, bits=4)
+
+
+# -- KVC path / aggregate mini-language (SURVEY.md §2.3) --------------------
+
+def _kvc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jesse_json_path parity: dot-path lookup (`path/2` →
+    get_json_object) + @count/@sum/@avg/@max/@min aggregates."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"))
+    return (ev.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   F.sum("k").alias("sum_k"),
+                   F.round(F.avg("k"), 4).alias("avg_k"),
+                   F.max("k").alias("max_k"),
+                   F.min("k").alias("min_k")))
+
+
+# ---------------------------------------------------------------------------
+# driver surface
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "v_summary": _validate_summary,
+        "v_violations": _validate_violations,
+        "kw_uniqueitems": _kw_uniqueitems,
+        "kw_divisible": _kw_divisible,
+        "kw_map_props": _kw_map_props,
+        "ds_stats": _ds_stats,
+        "ds_duplicates": _ds_duplicates,
+        "ds_referential": _ds_referential,
+        "ds_orphans": _ds_orphans,
+        "ds_histogram": _ds_histogram,
+        "ds_drift": _ds_drift,
+        "txt_tokens": _txt_tokens,
+        "txt_quality": _txt_quality,
+        "txt_langid": _txt_langid,
+        "txt_fingerprint": _txt_fingerprint,
+        "dd_exact": _dd_exact,
+        "dd_minhash": _dd_minhash,
+        "dd_simhash": _dd_simhash,
+        "dd_jaccard": _dd_jaccard,
+        "dd_embed": _dd_embed,
+        "sim_topk": _sim_topk,
+        "sim_ann": _sim_ann,
+        "kvc_agg": _kvc_agg,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — same computations, same column names
+# ---------------------------------------------------------------------------
+
+_VALID_EXPR = (
+    "(lang IN ('en','es','de','fr')"
+    " AND regexp_matches(source, '^src[0-9]$')"
+    " AND n_chars >= 50 AND n_chars <= 500"
+    " AND length(text) >= 60 AND regexp_matches(text, '^[a-z ]+$')"
+    " AND doc_id >= 0)"
+)
+
+_TOKS = "string_split(text, ' ')"
+
+# distinct word-3-gram shingles of `toks`
+_SHINGLES = (
+    "list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')"
+    " FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)])"
+)
+
+_DOT = ("list_reduce(list_transform(range(1, 65),"
+        " i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)")
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (f"round({_DOT.format(a=a, b=b)}"
+            f" / sqrt({_DOT.format(a=a, b=a)})"
+            f" / sqrt({_DOT.format(a=b, b=b)}), 6)")
+
+
+def _stats_col_sql(col: str) -> str:
+    return (f"SELECT '{col}' AS \"column\", count(*)::BIGINT AS count,"
+            f" sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)::BIGINT"
+            f" AS nulls,"
+            f" (sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)::BIGINT"
+            f" ::DOUBLE / count(*)::DOUBLE) AS null_rate,"
+            f" min({col})::VARCHAR AS min, max({col})::VARCHAR AS max,"
+            f" count(DISTINCT {col})::BIGINT AS n_distinct FROM documents")
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = []
+    for j in range(bits):
+        nib = (f"(strpos('0123456789abcdef',"
+               f" substr(dg, {j // 4 + 1}, 1)) - 1)")
+        votes.append(f"sum(CASE WHEN (({nib} >> {j % 4}) & 1) = 1"
+                     f" THEN 1 ELSE -1 END) AS s{j}")
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(bits))
+    return f"""
+WITH t AS (SELECT doc_id,
+             unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+d AS (SELECT doc_id, md5(tok) AS dg FROM t),
+v AS (SELECT doc_id, {', '.join(votes)} FROM d GROUP BY doc_id)
+SELECT doc_id, ({fp})::BIGINT AS simhash FROM v
+"""
+
+
+def _minhash_sql(bands: int = 4, rows_per_band: int = 2) -> str:
+    k = bands * rows_per_band
+    sigs = ", ".join(
+        f"list_min(list_transform(sh, x -> md5('{i}:' || x))) AS mh{i}"
+        for i in range(k))
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(mh{b * rows_per_band}"
+        + "".join(f" || '|' || mh{b * rows_per_band + r}"
+                  for r in range(1, rows_per_band))
+        + ") AS band_key FROM m"
+        for b in range(bands))
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+m AS (SELECT doc_id, {sigs} FROM s),
+bands AS ({band_rows})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_scores = {
+        lang: ("len(list_filter(toks, t -> list_contains(["
+               + ", ".join(f"'{m}'" for m in markers)
+               + "], t)))::INT")
+        for lang, markers in textops.LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(
+        f"s_{lang}" for lang in textops.LANG_PRIORITY) + ")"
+    guess_case = "CASE " + " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'"
+        for lang in textops.LANG_PRIORITY[:-1]) \
+        + f" ELSE '{textops.LANG_PRIORITY[-1]}' END"
+    stop_list = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
+
+    bucket = "least(19, greatest(0, floor(value / 25.0)))::INT"
+    cdfw = ("OVER (ORDER BY bucket"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+
+    return {
+        "v_summary": f"""
+SELECT lang, count(*)::BIGINT AS docs,
+       sum(CASE WHEN valid THEN 1 ELSE 0 END)::BIGINT AS pass,
+       sum(CASE WHEN valid THEN 0 ELSE 1 END)::BIGINT AS fail
+FROM (SELECT lang, {_VALID_EXPR} AS valid FROM documents)
+GROUP BY lang
+""",
+        "v_violations": """
+SELECT doc_id, 'not_in_range' AS error_type, '/lang' AS path,
+       '/properties/lang/enum' AS schema_ptr, lang AS value_json
+FROM documents WHERE lang NOT IN ('en','es','de','fr')
+UNION ALL
+SELECT doc_id, 'no_match', '/source', '/properties/source/pattern', source
+FROM documents WHERE NOT regexp_matches(source, '^src[0-9]$')
+UNION ALL
+SELECT doc_id, 'not_in_range', '/n_chars', '/properties/n_chars/minimum',
+       n_chars::VARCHAR
+FROM documents WHERE n_chars < 50
+UNION ALL
+SELECT doc_id, 'not_in_range', '/n_chars', '/properties/n_chars/maximum',
+       n_chars::VARCHAR
+FROM documents WHERE n_chars > 500
+UNION ALL
+SELECT doc_id, 'wrong_length', '/text', '/properties/text/minLength', text
+FROM documents WHERE length(text) < 60
+UNION ALL
+SELECT doc_id, 'no_match', '/text', '/properties/text/pattern', text
+FROM documents WHERE NOT regexp_matches(text, '^[a-z ]+$')
+UNION ALL
+SELECT doc_id, 'not_in_range', '/doc_id', '/properties/doc_id/minimum',
+       doc_id::VARCHAR
+FROM documents WHERE doc_id < 0
+""",
+        "kw_uniqueitems": f"""
+SELECT doc_id,
+       (len(toks) >= 5 AND len(toks) <= 200
+        AND len(list_distinct(toks)) = len(toks)) AS valid,
+       ((CASE WHEN len(toks) < 5 THEN 1 ELSE 0 END)
+        + (CASE WHEN len(toks) > 200 THEN 1 ELSE 0 END)
+        + (CASE WHEN len(list_distinct(toks)) <> len(toks) THEN 1 ELSE 0
+           END))::INT AS n_violations
+FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+""",
+        "kw_divisible": """
+SELECT doc_id, (n_chars % 7 = 0) AS valid FROM documents
+""",
+        "kw_map_props": """
+SELECT doc_id,
+       (lang IN ('en','es','de','fr')
+        AND regexp_matches(source, '^src[0-9]$')) AS valid
+FROM documents
+""",
+        "ds_stats": "\nUNION ALL\n".join(
+            _stats_col_sql(c)
+            for c in ["doc_id", "lang", "source", "n_chars"]),
+        "ds_duplicates": """
+SELECT user_id, count(*)::BIGINT AS occurrences
+FROM events GROUP BY user_id HAVING count(*) > 1
+""",
+        "ds_referential": """
+SELECT count(*)::BIGINT AS dangling FROM lineitem l
+WHERE l.l_partkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+""",
+        "ds_orphans": """
+SELECT p_partkey FROM part p
+WHERE p.p_partkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+""",
+        "ds_histogram": f"""
+SELECT bucket, n, round(n::DOUBLE / (sum(n) OVER ())::DOUBLE, 6) AS p
+FROM (SELECT {bucket} AS bucket, count(*)::BIGINT AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1)
+""",
+        "ds_drift": f"""
+WITH h AS (SELECT {bucket} AS bucket, event_type
+           FROM events WHERE value IS NOT NULL
+             AND event_type IN ('click','view')),
+c AS (SELECT bucket, count(*)::BIGINT AS n FROM h
+      WHERE event_type = 'click' GROUP BY 1),
+v AS (SELECT bucket, count(*)::BIGINT AS n FROM h
+      WHERE event_type = 'view' GROUP BY 1),
+cp AS (SELECT bucket, n::DOUBLE / (SELECT sum(n) FROM c)::DOUBLE AS p
+       FROM c),
+vp AS (SELECT bucket, n::DOUBLE / (SELECT sum(n) FROM v)::DOUBLE AS p
+       FROM v),
+j AS (SELECT coalesce(cp.bucket, vp.bucket) AS bucket,
+             coalesce(cp.p, 0.0) AS p, coalesce(vp.p, 0.0) AS q
+      FROM cp FULL OUTER JOIN vp ON cp.bucket = vp.bucket),
+staged AS (SELECT bucket,
+             abs(sum(p) {cdfw} - sum(q) {cdfw}) AS cdf_diff,
+             sum((p - q) * ln((p + 1e-6) / (q + 1e-6))) {cdfw} AS cum_psi
+           FROM j)
+SELECT round(max(cdf_diff), 6) AS ks,
+       round(arg_max(cum_psi, bucket), 6) AS psi
+FROM staged
+""",
+        "txt_tokens": f"""
+SELECT doc_id, len(toks)::INT AS n_tokens,
+       len(list_distinct(toks))::INT AS n_distinct,
+       round(list_reduce(list_transform(toks, t -> length(t)::BIGINT),
+                         (a, b) -> a + b)::DOUBLE
+             / len(toks)::DOUBLE, 4) AS avg_token_len,
+       list_max(list_transform(toks, t -> length(t)::INT))
+         AS max_token_len
+FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+""",
+        "txt_quality": f"""
+SELECT doc_id, length(text)::INT AS n_chars, len(toks)::INT AS n_tokens,
+       round(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE, 4)
+         AS distinct_ratio,
+       round(len(list_filter(toks,
+                 t -> list_contains([{stop_list}], t)))::DOUBLE
+             / len(toks)::DOUBLE, 4) AS stopword_ratio,
+       round(0.4 * least(length(text)::DOUBLE / 400.0, 1.0)
+             + 0.4 * (len(list_distinct(toks))::DOUBLE
+                      / len(toks)::DOUBLE)
+             + 0.2 * (1.0 - least(
+                 (len(list_filter(toks,
+                      t -> list_contains([{stop_list}], t)))::DOUBLE
+                  / len(toks)::DOUBLE) * 4.0, 1.0)), 4)
+         AS quality_score
+FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+""",
+        "txt_langid": f"""
+SELECT doc_id,
+       {', '.join(f's_{lang} AS score_{lang}'
+                  for lang in textops.LANG_PRIORITY)},
+       {guess_case} AS lang_guess
+FROM (SELECT doc_id,
+        {', '.join(f'{lang_scores[lang]} AS s_{lang}'
+                   for lang in textops.LANG_PRIORITY)}
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
+""",
+        "txt_fingerprint": f"""
+SELECT doc_id, md5(text) AS content_md5,
+       md5(array_to_string(list_slice(toks, 1, 3), ' ')) AS prefix_md5,
+       len({_SHINGLES})::INT AS n_shingles
+FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+""",
+        "dd_exact": f"""
+SELECT array_to_string(list_slice({_TOKS}, 1, 3), ' ') AS dup_key,
+       count(*)::BIGINT AS group_size,
+       min(doc_id) AS keep_id, max(doc_id) AS max_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+        "dd_minhash": _minhash_sql(4, 2),
+        "dd_simhash": _simhash_sql(16),
+        "dd_jaccard": f"""
+WITH s AS (SELECT doc_id, {_SHINGLES} AS sh
+           FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+                 WHERE doc_id < 40)),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sh AS sh_a, b.sh AS sh_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       round(len(list_intersect(sh_a, sh_b))::DOUBLE
+             / (len(sh_a) + len(sh_b)
+                - len(list_intersect(sh_a, sh_b)))::DOUBLE, 4) AS jaccard
+FROM p
+WHERE len(list_intersect(sh_a, sh_b)) > 0
+""",
+        "dd_embed": f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.30
+""",
+        "sim_topk": f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+scored AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {_cosine_sql('q.embedding', 'e.embedding')} AS cosine
+           FROM q, embeddings e WHERE q.vec_id <> e.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored)
+SELECT query_id, neighbor_id, cosine, rk::INT AS rank
+FROM r WHERE rk <= 5
+""",
+        "sim_ann": f"""
+WITH b AS (SELECT vec_id, embedding,
+             ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+              + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+              + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END))::INT
+               AS bucket
+           FROM embeddings),
+q AS (SELECT * FROM b WHERE vec_id < 8),
+scored AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {_cosine_sql('q.embedding', 'e.embedding')} AS cosine
+           FROM q JOIN b e ON q.bucket = e.bucket
+           WHERE q.vec_id <> e.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored)
+SELECT query_id, neighbor_id, cosine, rk::INT AS rank
+FROM r WHERE rk <= 3
+""",
+        "kvc_agg": """
+SELECT event_type, count(*)::BIGINT AS cnt, sum(k)::BIGINT AS sum_k,
+       round(avg(k), 4) AS avg_k, max(k) AS max_k, min(k) AS min_k
+FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k
+      FROM events)
+GROUP BY event_type
+""",
+    }

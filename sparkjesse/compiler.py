@@ -475,13 +475,17 @@ def _map_properties_predicate(kw: str, arg: Any, schema: dict, value: Column,
             return value.isNull() | F.coalesce(out, F.lit(False))
         return None
     if kw == "patternProperties" and isinstance(arg, dict):
+        # single-arg lambda via factory — Spark calls multi-parameter
+        # lambdas with (element, index), breaking default-arg closures
+        def entry_check(p: str, s: Any):
+            return lambda e: ~e.getField("key").rlike(p) \
+                | _rebind_predicate(s, e.getField("value"),
+                                    dtype.valueType, ctx, _depth)
+
         out = _true()
         for pattern, sub in arg.items():
-            out = out & F.forall(
-                F.map_entries(value),
-                lambda e, p=pattern, s=sub: ~e.getField("key").rlike(p)
-                | _rebind_predicate(s, e.getField("value"),
-                                    dtype.valueType, ctx, _depth))
+            out = out & F.forall(F.map_entries(value),
+                                 entry_check(pattern, sub))
         return value.isNull() | F.coalesce(out, F.lit(False))
     if kw == "additionalProperties":
         if arg is True:

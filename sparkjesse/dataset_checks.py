@@ -24,11 +24,13 @@ from pyspark.sql.window import Window
 # ---------------------------------------------------------------------------
 
 def column_stats(df: DataFrame, cols: Optional[Sequence[str]] = None,
-                 *, rsd: float = 0.02) -> DataFrame:
+                 *, rsd: float = 0.02, exact: bool = False) -> DataFrame:
     """One row per column: count, nulls, null_rate, min, max,
     approx_distinct (HLL, relative sd ``rsd``). Single aggregation pass —
     one job, one shuffle-free partial+final agg; min/max rendered as strings
-    so the output schema is uniform across column types."""
+    so the output schema is uniform across column types. ``exact=True``
+    swaps HLL for exact ``count_distinct`` (oracle-checkable; the HLL
+    sketch remains the 100 TB default)."""
     if cols is None:
         cols = [f.name for f in df.schema.fields]
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n__")]
@@ -42,7 +44,9 @@ def column_stats(df: DataFrame, cols: Optional[Sequence[str]] = None,
         else:
             aggs.append(F.lit(None).cast("string").alias(f"{c}__min"))
             aggs.append(F.lit(None).cast("string").alias(f"{c}__max"))
-        if sortable:
+        if sortable and exact:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__card"))
+        elif sortable:
             aggs.append(F.approx_count_distinct(c, rsd).alias(f"{c}__card"))
         else:
             aggs.append(F.lit(None).cast("long").alias(f"{c}__card"))
@@ -176,6 +180,35 @@ def ks_from_histograms(cur: DataFrame, base: DataFrame,
     )
     out = joined.agg(F.max("d")).collect()[0][0]
     return float(out or 0.0)
+
+
+def drift_frame(cur: DataFrame, base: DataFrame, value: Column | str, *,
+                lo: float, hi: float, buckets: int = 20,
+                eps: float = 1e-6) -> DataFrame:
+    """One-row DataFrame ``(ks, psi)`` between two distributions on
+    shared fixed buckets — the lazy (no-collect) form of
+    ``drift_report``. Order-deterministic: both statistics fold over
+    buckets in ascending order via a running window sum, so any engine
+    replaying the same expression gets the bit-identical double (the
+    DuckDB oracle does)."""
+    hc = fixed_histogram(cur, value, lo=lo, hi=hi, buckets=buckets)
+    hb = fixed_histogram(base, value, lo=lo, hi=hi, buckets=buckets)
+    j = (hc.select("bucket", F.col("p").alias("p_cur"))
+           .join(hb.select("bucket", F.col("p").alias("p_base")),
+                 on="bucket", how="full_outer")
+           .select("bucket",
+                   F.coalesce("p_cur", F.lit(0.0)).alias("p"),
+                   F.coalesce("p_base", F.lit(0.0)).alias("q")))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    term = (F.col("p") - F.col("q")) \
+        * F.log((F.col("p") + F.lit(eps)) / (F.col("q") + F.lit(eps)))
+    staged = j.select(
+        "bucket",
+        F.abs(F.sum("p").over(w) - F.sum("q").over(w)).alias("cdf_diff"),
+        F.sum(term).over(w).alias("cum_psi"))
+    return staged.agg(
+        F.round(F.max("cdf_diff"), 6).alias("ks"),
+        F.round(F.max_by("cum_psi", "bucket"), 6).alias("psi"))
 
 
 def drift_report(cur: DataFrame, base: DataFrame, value: Column | str, *,

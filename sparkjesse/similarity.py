@@ -1,0 +1,103 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set against the full corpus; one shuffle for the per-query window.
+  The baseline and the verifier for the approximate path.
+* ``ann_topk_bucketed`` — LSH-flavored scale path: corpus and queries
+  are bucketed by the sign pattern of the leading dimensions (a
+  data-derived random-hyperplane sketch — deterministic, no RNG), the
+  join is restricted to same-bucket candidates, so each query touches
+  ~corpus/2^bits rows. At 10^12 rows the bucket column becomes the
+  table's partition key so bucket joins are co-located scans.
+
+Determinism contract: dot products are **left folds in index order over
+doubles** (``F.aggregate`` over ``zip_with``), giving bit-identical
+results in any engine that folds sequentially — the DuckDB oracle uses
+``list_reduce`` with the same shape. Never rely on engine-native
+``list_cosine_similarity`` style builtins whose accumulation order is
+unspecified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Deterministic dot product: left fold of exact float×float
+    products (each product is exact in double) in index order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v)
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """dot/(|a|·|b|) with a fixed operation order (divide twice)."""
+    return dot_col(a, b) / norm_col(a) / norm_col(b)
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, *,
+                     id_col: str = "vec_id", emb_col: str = "embedding",
+                     k: int = 5) -> DataFrame:
+    """Exact top-k neighbors per query (cosine desc, neighbor id asc as
+    the deterministic tiebreak). Query side is broadcast — the corpus is
+    scanned once, map-side, with no corpus shuffle; the only shuffle is
+    the per-query top-k window over #queries × #corpus scored rows
+    (use a small/sampled query set, or the bucketed path below)."""
+    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                   F.col(emb_col).alias("__qe__")))
+    scored = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(emb_col).alias("__ce__"))
+              .join(q, F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(cosine_col(F.col("__qe__"), F.col("__ce__")), 6)
+                      .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def sign_bucket(emb: Column, *, bits: int = 4) -> Column:
+    """Deterministic hyperplane sketch: bit i = (emb[i] > 0). Buckets
+    the space into 2^bits cells; at scale, persist as a partition/
+    cluster key so same-bucket joins are co-located."""
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + F.when(F.element_at(emb, i + 1) > 0,
+                           F.lit(2 ** i)).otherwise(0)
+    return out.cast("int")
+
+
+def ann_topk_bucketed(queries: DataFrame, corpus: DataFrame, *,
+                      id_col: str = "vec_id", emb_col: str = "embedding",
+                      k: int = 3, bits: int = 4) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign
+    bucket. Recall is traded for a 2^bits candidate reduction; verify
+    against ``brute_force_topk`` on samples."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(emb_col).alias("__qe__"),
+                       sign_bucket(F.col(emb_col), bits=bits)
+                       .alias("bucket")))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(emb_col).alias("__ce__"),
+                      sign_bucket(F.col(emb_col), bits=bits).alias("bucket"))
+    scored = (c.join(q, on="bucket")
+               .where(F.col("query_id") != F.col("neighbor_id"))
+               .select("query_id", "neighbor_id",
+                       F.round(cosine_col(F.col("__qe__"), F.col("__ce__")),
+                               6).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "cosine", "rank"))

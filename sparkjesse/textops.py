@@ -1,0 +1,139 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Language-ID (marker-token heuristic), quality scoring (length /
+punctuation / stopword ratios), token counting, and document
+fingerprinting — every operator is a pure Catalyst expression tree
+(``split`` / ``filter`` / ``transform`` / ``aggregate`` higher-order
+functions), so the whole module runs inside whole-stage codegen with no
+Python in the hot path and scales linearly with input partitions: there
+is not a single shuffle in this file.
+
+Determinism contract: all hashing is ``md5`` over explicit string
+payloads, so results are reproducible across engines (the DuckDB oracle
+in ``__spark_entry__.py`` computes the same bytes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# fixed marker vocabularies for the n-gram/stopword language heuristic;
+# deliberately tiny — the heuristic's job is deterministic scoring, the
+# lists can be swapped for real per-language stopword tables in prod
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "is", "fast", "small", "big"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se", "valor"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "wert"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "une"],
+    "zh": ["de5", "shi4", "zai4", "he2", "you3", "wo3", "ta1"],
+}
+# deterministic priority order for argmax ties (first wins)
+LANG_PRIORITY = ["en", "es", "de", "fr", "zh"]
+
+STOPWORDS = ["the", "a", "of", "and", "to", "is", "in", "it", "on"]
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space separated text)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def shingles_col(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings; docs shorter than ``n`` tokens
+    yield one shingle covering the whole doc. Per-row expression only."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(tokens, i, n), " "))
+
+
+def token_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token counts: (id, n_tokens, n_distinct, avg_token_len,
+    max_token_len). avg is a left-fold sum / count in double, rounded —
+    bit-reproducible across engines."""
+    toks = tokens_col(text_col)
+    total_len = F.aggregate(toks, F.lit(0).cast("long"),
+                            lambda acc, t: acc + F.length(t))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(total_len.cast("double") / F.size(toks).cast("double"), 4)
+         .alias("avg_token_len"),
+        F.array_max(F.transform(toks, F.length)).alias("max_token_len"),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring features per doc: char/token counts, type-token
+    (distinct) ratio, stopword ratio, and a composite quality score in
+    [0,1]. All ratios are rounded doubles with identical expression
+    shape to the DuckDB oracle."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    stop = F.size(F.filter(
+        toks, lambda t: t.isin(STOPWORDS))).cast("double") / n_tok
+    n_chars = F.length(F.col(text_col)).cast("double")
+    # crude composite: favor mid-length docs with lexical diversity and a
+    # sane (not-too-high) stopword share
+    length_term = F.least(n_chars / F.lit(400.0), F.lit(1.0))
+    score = F.round(
+        F.lit(0.4) * length_term + F.lit(0.4) * distinct_ratio
+        + F.lit(0.2) * (F.lit(1.0) - F.least(stop * F.lit(4.0), F.lit(1.0))),
+        4)
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(stop, 4).alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Marker-token language heuristic: score = #tokens in each
+    language's marker list; guess = argmax with fixed priority-order
+    tiebreak. Deterministic, expression-only."""
+    toks = tokens_col(text_col)
+
+    # NB: single-arg lambdas only — PySpark higher-order functions call
+    # multi-parameter lambdas with (element, index), so default-arg
+    # closures would silently bind the index Column
+    def marker_filter(markers: list[str]):
+        return lambda t: t.isin(markers)
+
+    scores = {lang: F.size(F.filter(toks, marker_filter(m)))
+              for lang, m in LANG_MARKERS.items()}
+    best = scores[LANG_PRIORITY[0]]
+    for lang in LANG_PRIORITY[1:]:
+        best = F.greatest(best, scores[lang])
+    guess = F.lit(LANG_PRIORITY[-1])
+    for lang in reversed(LANG_PRIORITY[:-1]):
+        guess = F.when(scores[lang] == best, F.lit(lang)).otherwise(guess)
+    out = df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_PRIORITY],
+        guess.alias("lang_guess"),
+    )
+    return out
+
+
+def fingerprints(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", prefix_tokens: int = 3) -> DataFrame:
+    """Document fingerprints: full-content md5, a normalized prefix key
+    (first ``prefix_tokens`` tokens — a cheap rolling-hash stand-in for
+    boilerplate clustering), and the distinct-shingle count."""
+    toks = tokens_col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_md5"),
+        F.md5(F.array_join(F.slice(toks, 1, prefix_tokens), " "))
+         .alias("prefix_md5"),
+        F.size(F.array_distinct(shingles_col(toks))).alias("n_shingles"),
+    )
