@@ -1,0 +1,98 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the north-star
+flagship — full-draft4-constraint validation over a generated
+interleaved text+media table — reported as docs/sec.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "flagship_docs": N, "flagship_docs_per_sec": r}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from sparkjesse.engine import ValidationEngine  # noqa: E402
+from sparkjesse.generator import INTERLEAVED_SCHEMA, interleaved_documents  # noqa: E402
+from sparkjesse.partitioning import salted_repartition  # noqa: E402
+
+# representative subset of the driver-checked queries (full set runs in
+# the correctness gate; the bench picks the heavy/interesting ones)
+BENCH_QUERIES = [
+    "v_summary", "v_violations", "kw_uniqueitems", "ds_stats",
+    "ds_duplicates", "ds_histogram", "ds_drift", "txt_quality",
+    "txt_langid", "dd_exact", "dd_minhash", "dd_simhash", "sim_topk",
+    "kvc_agg",
+]
+
+# flagship interleaved-doc count per sf unit (sf0.1 → 100k docs)
+FLAGSHIP_DOCS_PER_SF = 1_000_000
+
+
+def _consume(df) -> int:
+    """Force full evaluation without driver-side materialization."""
+    return df.agg(F.count(F.lit(1))).collect()[0][0]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sparkjesse-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship: full draft4 constraint set over the interleaved table,
+    # salted skew-aware repartition on doc_id hash (north rule)
+    n_docs = max(10_000, int(FLAGSHIP_DOCS_PER_SF * sf))
+    docs = interleaved_documents(spark, n_docs, seed=42,
+                                 partitions=cpus * 4)
+    docs = salted_repartition(docs, "doc_id", cpus * 4).drop("__salt__")
+    t0 = time.perf_counter()
+    res = ValidationEngine().validate(docs, INTERLEAVED_SCHEMA)
+    summary = res.summary.agg(
+        F.sum("docs").alias("docs"), F.sum("fail").alias("fail")).collect()[0]
+    flagship_sec = time.perf_counter() - t0
+    timings["flagship_interleaved_validate"] = round(flagship_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "sparkjesse bench: 14 driver queries + interleaved "
+                  "draft4 validation",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "flagship_docs": int(summary["docs"]),
+        "flagship_fail": int(summary["fail"]),
+        "flagship_docs_per_sec": round(summary["docs"] / flagship_sec, 1),
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,18 +57,27 @@ def minhash_signature_cols(tokens: Column, *, num_hashes: int = 8,
                            shingle_n: int = 3) -> list[Column]:
     """``num_hashes`` min-hash signatures for one doc's token array.
     Hash ``i`` of a shingle is ``md5('{i}:' + shingle)``; the signature
-    is the lexicographic minimum digest. Pure per-row expressions."""
+    is the lexicographic minimum digest.
+
+    Single-pass: ONE fold over the shingle array updates all
+    ``num_hashes`` running minima at once (``aggregate`` over a
+    ``zip_with``/``least`` accumulator), so shingles are materialized
+    once and each shingle is hashed exactly ``num_hashes`` times —
+    versus ``num_hashes`` independent ``array_min(transform(...))``
+    trees, which re-derive the shingle array per hash (Catalyst CSE
+    does not reliably merge them). Pure per-row expressions."""
     sh = F.array_distinct(shingles_col(tokens, shingle_n))
+    # "~" (0x7E) sorts after every hex digit — the fold's +infinity
+    init = F.array_repeat(F.lit("~"), num_hashes)
 
-    # single-arg lambda via factory — a default-arg lambda would be
-    # called by Spark with (element, index), clobbering the seed
-    def hasher(seed: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
+    def step(acc: Column, s: Column) -> Column:
+        hashes = F.array(*[F.md5(F.concat(F.lit(f"{i}:"), s))
+                           for i in range(num_hashes)])
+        return F.zip_with(acc, hashes, lambda a, h: F.least(a, h))
 
-    return [
-        F.array_min(F.transform(sh, hasher(i))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+    sigs = F.aggregate(sh, init, step)
+    return [F.element_at(sigs, i + 1).alias(f"mh{i}")
+            for i in range(num_hashes)]
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -104,13 +113,22 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     banded = (sigs.select(F.col(id_col), F.explode(band_structs).alias("bk"))
                   .select(F.col(id_col), F.col("bk.band").alias("band"),
                           F.col("bk.band_key").alias("band_key")))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (a.join(b, on=["band", "band_key"], how="inner")
-             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"))
-             .distinct())
+    # bucket-local pair expansion beats a self-join here: the input is
+    # scanned (and signatures computed) ONCE, one shuffle groups ids per
+    # (band, band_key), and pairs are generated per bucket with array
+    # lambdas — pair count is inherently quadratic per bucket either way
+    buckets = (banded.groupBy("band", "band_key")
+                     .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+                     .where(F.size("ids") > 1))
+    pairs = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2,
+                    F.greatest(F.size(F.col("ids")) - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    return (buckets.select(F.explode(pairs).alias("p"))
+                   .select("p.id_a", "p.id_b")
+                   .distinct())
 
 
 # ---------------------------------------------------------------------------

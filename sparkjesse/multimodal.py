@@ -1,0 +1,160 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, processed with Arrow-batched pandas functions via
+``mapInPandas`` — never per-row Python.
+
+The sandbox has no image/audio codecs (PIL/ffmpeg absent), so the
+*decode* step is stubbed: ``strict=True`` raises ``NotImplementedError``
+(the production path would plug a real codec into the same batch
+signature); the default is a deterministic fake decoder that parses the
+synthetic header written by ``synth_media``. Everything Spark-side —
+schema, partitioning, UDF signatures, Arrow batch shapes — is real and
+tested; swapping in a real codec changes only the inner function body.
+
+Scale notes: binary payloads ride Arrow record batches driver-free;
+``mapInPandas`` streams batches (``spark.sql.execution.arrow.
+maxRecordsPerBatch``) so executor memory is bounded by batch size, not
+partition size. Feature extraction emits fixed-width ``array<float>``
+columns that feed ``similarity.py`` directly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_MAGIC = b"SJM1"  # synthetic media header: magic, kind, w, h, dur_ms
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("media_kind", StringType()),
+    StructField("content", BinaryType()),
+    StructField("meta", StructType([
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("mime", StringType()),
+    ])),
+])
+
+DECODED_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_bytes", IntegerType()),
+    StructField("checksum", StringType()),
+])
+
+
+def synth_media(spark: SparkSession, n: int, *, seed: int = 42,
+                payload_bytes: int = 256) -> DataFrame:
+    """Deterministic fake media table (driver-free generation via
+    ``spark.range`` + expressions; payload = repeated md5 bytes behind a
+    small struct-packed header)."""
+    kinds = ["image", "audio", "video"]
+    mimes = {"image": "image/fake", "audio": "audio/fake",
+             "video": "video/fake"}
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                h = hashlib.md5(f"{seed}:{i}".encode()).digest()
+                kind = kinds[i % 3]
+                w, h_px = 16 + (i % 64), 16 + ((i * 7) % 64)
+                dur = 1000 + (i % 60) * 1000
+                header = _MAGIC + struct.pack(
+                    "<BHHI", kinds.index(kind), w, h_px, dur)
+                body = (h * (payload_bytes // len(h) + 1))[:payload_bytes]
+                out.append({
+                    "media_ref": f"m{i}",
+                    "media_kind": kind,
+                    "content": header + body,
+                    "meta": {"width": int(w), "height": int(h_px),
+                             "duration_ms": int(dur),
+                             "mime": mimes[kind]},
+                })
+            yield pd.DataFrame(out)
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_media(df: DataFrame, *, strict: bool = False) -> DataFrame:
+    """Decode the binary column into (media_ref, width, height, n_bytes,
+    checksum). ``strict=True`` is the production marker: a real codec
+    (PIL / libav) must be plugged in; this sandbox has none."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "no image/audio codec in this environment — plug a real "
+                "decoder into decode_media()")
+        for pdf in batches:
+            rows = []
+            for ref, blob in zip(pdf["media_ref"], pdf["content"]):
+                b = bytes(blob)
+                if b[:4] == _MAGIC:
+                    _, w, h, _dur = struct.unpack("<BHHI", b[4:13])
+                else:  # unknown container — metadata only
+                    w = h = -1
+                rows.append({
+                    "media_ref": ref, "width": int(w), "height": int(h),
+                    "n_bytes": len(b),
+                    "checksum": hashlib.md5(b).hexdigest(),
+                })
+            yield pd.DataFrame(rows)
+
+    return df.select("media_ref", "content").mapInPandas(
+        decode, DECODED_SCHEMA)
+
+
+def extract_features(df: DataFrame, *, dim: int = 16,
+                     content_col: str = "content",
+                     id_col: str = "media_ref") -> DataFrame:
+    """Binary → fixed-width ``array<float>`` feature vector (the stub
+    derives it from the content digest — deterministic; a real model
+    would run here with the identical Arrow batch signature). Output
+    feeds similarity search / embedding dedup directly."""
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def featurize(content: pd.Series) -> pd.Series:
+        out = []
+        for blob in content:
+            d = hashlib.sha256(bytes(blob)).digest()
+            raw = (d * (dim * 4 // len(d) + 1))[:dim * 4]
+            v = np.frombuffer(raw, dtype=np.uint32).astype(np.float64)
+            out.append(((v / 2**32) * 2.0 - 1.0).astype(np.float32))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col),
+                     featurize(F.col(content_col)).alias("features"))
+
+
+def frame_sample_plan(df: DataFrame, *, fps: float = 1.0,
+                      meta_col: str = "meta",
+                      id_col: str = "media_ref") -> DataFrame:
+    """Frame-sampling plan for video rows: one row per sampled frame
+    offset (ms), computed as pure expressions (sequence + explode) —
+    the decode of each frame would then run through ``decode_media``'s
+    batch path. No Python in this step."""
+    dur = F.col(f"{meta_col}.duration_ms")
+    step = F.lit(int(1000 / fps))
+    offs = F.sequence(F.lit(0), dur - 1, step)
+    return (df.where(F.col("media_kind") == "video")
+              .select(F.col(id_col), F.posexplode(offs)
+                      .alias("frame_idx", "offset_ms")))

@@ -1,0 +1,135 @@
+"""Training-data pipeline ops: dedup, similarity, text analysis."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkjesse import dedup, similarity, textops
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """Four base docs; doc 10 is a near-duplicate of doc 0 (one word
+    changed), doc 11 is an exact duplicate of doc 1."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight")
+    rows = [
+        (0, base),
+        (1, "pack my box with five dozen liquor jugs while the band "
+            "plays on and the crowd cheers loudly tonight"),
+        (2, "sphinx of black quartz judge my vow said the wizard to "
+            "the apprentice in the tall stone tower"),
+        (3, "how vexingly quick daft zebras jump over fences near the "
+            "old barn by the river in spring"),
+        (10, base.replace("green", "blue")),
+        (11, "pack my box with five dozen liquor jugs while the band "
+             "plays on and the crowd cheers loudly tonight"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicate_groups(near_dup_docs):
+    groups = dedup.exact_duplicate_groups(
+        near_dup_docs, F.md5("text")).collect()
+    assert len(groups) == 1
+    assert groups[0]["group_size"] == 2
+    assert groups[0]["keep_id"] == 1 and groups[0]["max_id"] == 11
+
+
+def test_lsh_finds_near_duplicates(near_dup_docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.lsh_candidate_pairs(
+                 near_dup_docs, bands=8, rows_per_band=1).collect()}
+    assert (1, 11) in pairs        # exact dup always collides
+    assert (0, 10) in pairs        # near-dup shares most shingles
+    # dissimilar docs should not flood the candidate set
+    assert (2, 3) not in pairs
+
+
+def test_jaccard_verifies_candidates(near_dup_docs):
+    pairs = dedup.lsh_candidate_pairs(near_dup_docs, bands=8,
+                                      rows_per_band=1)
+    verified = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in dedup.ngram_jaccard_pairs(
+                    near_dup_docs, pairs, min_jaccard=0.5).collect()}
+    assert verified[(1, 11)] == 1.0
+    assert 0.5 < verified[(0, 10)] < 1.0
+
+
+def test_simhash_hamming_close_for_near_dups(near_dup_docs):
+    fps = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash(near_dup_docs, bits=16).collect()}
+    assert fps[1] == fps[11]  # identical text → identical fingerprint
+    ham = bin(fps[0] ^ fps[10]).count("1")
+    assert ham <= 4  # one-word change flips few bits
+    far = bin(fps[2] ^ fps[3]).count("1")
+    assert far >= ham
+
+
+def test_simhash_near_pairs(near_dup_docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_near_pairs(
+                 near_dup_docs, bits=16, max_hamming=4).collect()}
+    assert pairs.get((1, 11)) == 0
+
+
+def test_brute_force_topk_self_similarity(spark):
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(6)]
+    # vec 5 duplicated direction of vec 0
+    rows.append((6, [2.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = similarity.brute_force_topk(
+        df.where(F.col("vec_id") == 0), df, k=1).collect()
+    assert top[0]["neighbor_id"] == 6 and top[0]["cosine"] == 1.0
+
+
+def test_ann_bucketed_matches_brute_force_for_same_bucket(spark):
+    rows = [(i, [1.0 + i, 0.5, -0.25, 1.0] + [0.1] * 4)
+            for i in range(10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    bf = similarity.brute_force_topk(df.where(F.col("vec_id") < 2), df, k=3)
+    ann = similarity.ann_topk_bucketed(df.where(F.col("vec_id") < 2), df,
+                                       k=3, bits=4)
+    # all vectors share one sign bucket → ANN must equal brute force
+    assert sorted(map(tuple, bf.collect())) == \
+        sorted(map(tuple, ann.collect()))
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.99, 0.01, 0.0]),
+            (2, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.embedding_near_duplicates(
+                 df, threshold=0.99).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_token_stats_and_quality(spark):
+    df = spark.createDataFrame([(1, "aa bb aa")], ["doc_id", "text"])
+    ts = textops.token_stats(df).collect()[0]
+    assert (ts["n_tokens"], ts["n_distinct"], ts["max_token_len"]) \
+        == (3, 2, 2)
+    assert ts["avg_token_len"] == 2.0
+    q = textops.quality_features(df).collect()[0]
+    assert q["n_chars"] == 8 and 0.0 <= q["quality_score"] <= 1.0
+
+
+def test_language_id_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "the la der xyz"), (2, "el la de que")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["lang_guess"]
+           for r in textops.language_id(df).collect()}
+    assert out[1] == "en"   # tie between en/es/de broken by priority
+    assert out[2] == "es"
+
+
+def test_fingerprints_stable(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    fp = textops.fingerprints(df).collect()[0]
+    import hashlib
+    assert fp["content_md5"] == hashlib.md5(b"a b c d e").hexdigest()
+    assert fp["prefix_md5"] == hashlib.md5(b"a b c").hexdigest()
+    assert fp["n_shingles"] == 3
