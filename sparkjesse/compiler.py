@@ -740,6 +740,19 @@ def _items_violations(item_schema: dict, value: Column, dtype: ArrayType,
     we build it inside a transform lambda, still fully JVM-side."""
     elem_type = dtype.elementType
 
+    # short-circuit gate (SURVEY.md §4.2): evaluate the allocation-free
+    # boolean predicate first and only build violation structs/arrays
+    # for FAILING elements. At ~10 checks/span this removes ~all array
+    # allocation from the valid-data hot path — validation becomes
+    # compute-bound instead of GC-bound, which is what lets throughput
+    # scale with cores.
+    try:
+        gate_schema: Optional[dict] = item_schema
+        _ = compile_predicate(item_schema, F.lit(None), elem_type, ctx,
+                              depth + 1)
+    except CompileError:
+        gate_schema = None
+
     def per_element(x: Column, i: Column) -> Column:
         elem_path = F.concat(path, F.lit("/"), i.cast("string"))
         s, a = _compile_checks(item_schema, x, elem_type, elem_path, sptr,
@@ -750,7 +763,13 @@ def _items_violations(item_schema: dict, value: Column, dtype: ArrayType,
         parts.extend(a)
         if not parts:
             return _empty_violations()
-        return parts[0] if len(parts) == 1 else F.concat(*parts)
+        built = parts[0] if len(parts) == 1 else F.concat(*parts)
+        if gate_schema is None:
+            return built
+        ok = F.coalesce(
+            compile_predicate(gate_schema, x, elem_type, ctx, depth + 1),
+            F.lit(True))
+        return F.when(ok, _empty_violations()).otherwise(built)
 
     nested = F.transform(value, per_element)
     return F.coalesce(F.flatten(nested), _empty_violations())

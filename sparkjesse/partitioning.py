@@ -30,14 +30,28 @@ class SkewReport:
 
 
 def detect_hot_keys(df: DataFrame, key: str, *, sample_fraction: float = 0.05,
-                    max_sample_rows: int = 200_000,
-                    hot_share: float = 0.01,
+                    hot_share: float = 0.002, target_rows: int = 500_000,
                     seed: int = 7) -> SkewReport:
     """Sample the key column and flag keys holding more than ``hot_share``
     of the sampled mass. One small job over a sampled projection — the
-    full table is never shuffled for detection."""
-    sample = (df.select(key).sample(fraction=sample_fraction, seed=seed)
-                .limit(max_sample_rows))
+    full table is never shuffled for detection (and no ``limit``, which
+    would funnel the sample through a single task). The default
+    ``hot_share`` is 0.2%: at 10^12 rows a 0.2% key is 2×10^9 rows in
+    one hash partition — far past straggler territory.
+
+    ``target_rows`` caps the expected sample size: for sources with a
+    cheap count (parquet/Iceberg metadata) the fraction shrinks so the
+    detection job stays O(target) however big the table — at 10^12 rows
+    a fixed 5% sample would itself be a 5×10^10-row job."""
+    if target_rows:
+        try:
+            n = df.count()
+            if n > 0:
+                sample_fraction = min(sample_fraction,
+                                      max(target_rows / n, 1e-6))
+        except Exception:
+            pass
+    sample = df.select(key).sample(fraction=sample_fraction, seed=seed)
     counts = sample.groupBy(key).count()
     rows = counts.agg(F.sum("count")).collect()[0][0] or 0
     if rows == 0:
@@ -60,7 +74,11 @@ def salted_repartition(df: DataFrame, key: str, num_partitions: int, *,
         skew = detect_hot_keys(df, key, sample_fraction=sample_fraction)
     hot_values = [k for k, _ in skew.hot_keys]
     if hot_values:
-        tiebreak = F.xxhash64(*[F.col(c) for c in df.columns])
+        # tiebreak hashes only (key, row ordinal): hashing whole rows
+        # (nested arrays!) costs ~7x the shuffle itself — and Spark's
+        # subexpression elimination evaluates the hoisted hash for every
+        # row, hot or not, so the tiebreak must be cheap unconditionally
+        tiebreak = F.xxhash64(F.col(key), F.monotonically_increasing_id())
         salt = (F.when(F.col(key).isin(hot_values),
                        F.pmod(tiebreak, F.lit(salt_buckets)))
                 .otherwise(F.lit(0))).cast("int")
