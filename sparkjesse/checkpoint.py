@@ -73,12 +73,16 @@ class CheckpointLedger:
 
     def record(self, entry: LedgerEntry) -> None:
         """Atomic append: write a unique temp file then rename (same-dir
-        rename is atomic on POSIX)."""
+        rename is atomic on POSIX). The filename embeds a *sanitized*
+        partition id — ids are arbitrary strings (often paths), and
+        ``os.path.join`` would otherwise escape the ledger dir on an
+        absolute id."""
         entry.ts = entry.ts or time.time()
+        safe = hashlib.sha256(entry.partition_id.encode()).hexdigest()[:16]
         tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
         final = os.path.join(
             self.path,
-            f"{entry.partition_id}-{entry.attempt}-{uuid.uuid4().hex[:8]}.json")
+            f"{safe}-{entry.attempt}-{uuid.uuid4().hex[:8]}.json")
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(entry.to_json() + "\n")
         os.rename(tmp, final)
