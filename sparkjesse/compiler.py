@@ -270,7 +270,10 @@ def _keyword_predicate(kw: str, arg: Any, schema: dict, value: Column,
         if isinstance(arg, dict):
             return _ns(F.forall(value, lambda x: _rebind_predicate(
                 arg, x, dtype.elementType, ctx, _depth)))
-        raise CompileError("tuple-form items not supported on typed arrays")
+        if isinstance(arg, list):
+            return _tuple_items_predicate(arg, schema, value, dtype, ctx,
+                                          _depth)
+        return None
 
     if kw == "properties" and isinstance(arg, dict):
         return _properties_predicate(arg, schema, value, dtype, ctx, _depth)
@@ -338,6 +341,48 @@ def _rebind_predicate(schema: Any, x: Column, elem_type: DataType,
                       ctx: CompileContext, _depth: int) -> Column:
     return F.coalesce(
         compile_predicate(schema, x, elem_type, ctx, _depth + 1), F.lit(True))
+
+
+def _tuple_items_predicate(subs: list, schema: dict, value: Column,
+                           dtype: ArrayType, ctx: CompileContext,
+                           _depth: int) -> Column:
+    """Tuple-form ``items`` + ``additionalItems``. Reference semantics
+    (`jesse_validator_draft3.erl:511-536`): too-short ⇒ invalid
+    (``not_enought_items``); longer with additionalItems absent/true ⇒
+    valid *without validating the prefix* (reference quirk, `:524-526`);
+    additionalItems false ⇒ invalid; schema ⇒ prefix + extras checked.
+    Draft4: prefix always checked, short arrays fine."""
+    n = len(subs)
+    size = F.size(value)
+    additional = schema.get("additionalItems")
+    elem_type = dtype.elementType
+    base = _true()
+    for i, sub in enumerate(subs):
+        if isinstance(sub, dict):
+            base = base & _rebind_predicate(sub, F.get(value, i), elem_type,
+                                            ctx, _depth)
+    extras_ok = _true()
+    if isinstance(additional, dict):
+        extras_ok = F.coalesce(
+            F.forall(F.slice(value, n + 1,
+                             F.greatest(size - n, F.lit(0))),
+                     lambda x: _rebind_predicate(additional, x, elem_type,
+                                                 ctx, _depth)),
+            F.lit(True))
+    if ctx.draft == E.DRAFT3:
+        if additional is None or additional is True:
+            out = (F.when(size < n, F.lit(False))
+                    .when(size == n, base)
+                    .otherwise(F.lit(True)))
+        elif additional is False:
+            out = F.when(size == n, base).otherwise(F.lit(False))
+        else:
+            out = F.when(size < n, F.lit(False)).otherwise(base & extras_ok)
+    else:
+        out = base & extras_ok
+        if additional is False:
+            out = out & (size <= n)
+    return value.isNull() | F.coalesce(out, F.lit(False))
 
 
 def _present_field_count(value: Column, dtype: StructType) -> Column:
@@ -680,6 +725,12 @@ def _compile_checks(schema: dict, value: Column, dtype: DataType,
                 and isinstance(arg, dict):
             arrays.append(_items_violations(arg, value, dtype, path,
                                             sptr + "/items", ctx, depth))
+        elif kw == "items" and isinstance(dtype, ArrayType) \
+                and isinstance(arg, list):
+            s2, a2 = _tuple_items_checks(arg, schema, value, dtype, path,
+                                         sptr, vj, ctx, depth)
+            scalars.extend(s2)
+            arrays.extend(a2)
         elif kw == "properties" and isinstance(arg, dict) \
                 and isinstance(dtype, StructType):
             for name, sub in arg.items():
@@ -732,9 +783,59 @@ def _compile_checks(schema: dict, value: Column, dtype: DataType,
     return scalars, arrays
 
 
+def _tuple_items_checks(subs: list, schema: dict, value: Column,
+                        dtype: ArrayType, path: Column, sptr: str,
+                        vj: Column, ctx: CompileContext,
+                        depth: int) -> tuple[list[Column], list[Column]]:
+    """Violation-emitting tuple-form items — same semantics as
+    ``_tuple_items_predicate`` with per-index pointer paths
+    (0-based indices, `jesse_schema_validator_tests.erl:107-135`)."""
+    n = len(subs)
+    size = F.size(value)
+    additional = schema.get("additionalItems")
+    elem_type = dtype.elementType
+    draft3 = ctx.draft == E.DRAFT3
+    scalars: list[Column] = []
+    arrays: list[Column] = []
+    present = value.isNotNull()
+
+    if draft3:
+        scalars.append(F.when(present & (size < n), _viol(
+            E.NOT_ENOUGHT_ITEMS, path, sptr + "/items", vj)))
+        prefix_active = (size == n) | \
+            ((size > n) & F.lit(isinstance(additional, dict)))
+    else:
+        prefix_active = F.lit(True)
+    if additional is False:
+        scalars.append(F.when(present & (size > n), _viol(
+            E.NO_EXTRA_ITEMS_ALLOWED, path, sptr + "/additionalItems", vj)))
+
+    for i, sub in enumerate(subs):
+        if not isinstance(sub, dict):
+            continue
+        child = F.get(value, i)
+        child_path = F.concat(path, F.lit(f"/{i}"))
+        s, a = _compile_checks(sub, child, elem_type, child_path,
+                               sptr + f"/items/{i}", ctx, depth + 1)
+        scalars.extend(F.when(prefix_active, chk) for chk in s)
+        arrays.extend(
+            F.when(prefix_active, arr).otherwise(_empty_violations())
+            for arr in a)
+
+    if isinstance(additional, dict):
+        extras = F.slice(value, n + 1, F.greatest(size - n, F.lit(0)))
+        arrays.append(F.when(
+            present & (size > n),
+            _items_violations(additional, extras, dtype, path,
+                              sptr + "/additionalItems", ctx, depth,
+                              index_offset=n)
+        ).otherwise(_empty_violations()))
+    return scalars, arrays
+
+
 def _items_violations(item_schema: dict, value: Column, dtype: ArrayType,
                       path: Column, sptr: str, ctx: CompileContext,
-                      depth: int) -> Column:
+                      depth: int, index_offset: int = 0) -> Column:
     """Per-element violations with dynamic 0-based pointer indices —
     jesse pushes the index per element (`jesse_validator_draft3.erl:488-503`);
     we build it inside a transform lambda, still fully JVM-side."""
@@ -754,7 +855,8 @@ def _items_violations(item_schema: dict, value: Column, dtype: ArrayType,
         gate_schema = None
 
     def per_element(x: Column, i: Column) -> Column:
-        elem_path = F.concat(path, F.lit("/"), i.cast("string"))
+        elem_path = F.concat(path, F.lit("/"),
+                             (i + F.lit(index_offset)).cast("string"))
         s, a = _compile_checks(item_schema, x, elem_type, elem_path, sptr,
                                ctx, depth + 1)
         parts: list[Column] = []
