@@ -101,8 +101,16 @@ class ValidationEngine:
     # -- DataFrame paths ----------------------------------------------------
     def validate(self, df: DataFrame, schema_or_key: Union[str, dict], *,
                  doc_id_col: str = "doc_id",
-                 draft: Optional[str] = None) -> ValidationResult:
-        """Typed-column validation via the Catalyst compiler."""
+                 draft: Optional[str] = None,
+                 max_violations_per_doc: Optional[int] = None
+                 ) -> ValidationResult:
+        """Typed-column validation via the Catalyst compiler.
+
+        ``max_violations_per_doc`` is jesse's ``allowed_errors`` budget
+        (`jesse_state.erl:108-111`): the violations array is truncated
+        to the first N entries per doc (``valid`` still reflects the
+        untruncated outcome). Works on batch and streaming DataFrames
+        alike — the plan is pure column expressions."""
         schema = self._resolve(schema_or_key)
         draft = draft or self._draft_of(schema)
         plan = compile_plan(schema, df.schema, draft=draft,
@@ -111,6 +119,10 @@ class ValidationEngine:
             df.withColumn("violations", plan.violations_column())
               .withColumn("valid", F.size("violations") == 0)
         )
+        if max_violations_per_doc is not None:
+            annotated = annotated.withColumn(
+                "violations",
+                F.slice(F.col("violations"), 1, max_violations_per_doc))
         return ValidationResult(annotated=annotated, doc_id_col=doc_id_col)
 
     # alias for jesse.erl:154-178 parity

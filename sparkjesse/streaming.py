@@ -1,0 +1,63 @@
+"""Structured Streaming validation.
+
+The compiled validator plan is pure column expressions, so the SAME
+``ValidationEngine.validate`` call works on a streaming DataFrame —
+schema compilation happens once on the driver, each micro-batch is
+validated inside Spark's streaming pipeline with zero per-row Python.
+This module adds the streaming-specific shapes around it:
+
+* ``validate_stream`` — annotate a stream with violations/valid.
+* ``windowed_summary`` — event-time windowed pass/fail counts with a
+  watermark for late data (the streaming analogue of the per-partition
+  summary; state is bounded by the watermark).
+* ``violations_sink`` — exploded violation rows ready for
+  ``writeStream`` (append mode: one row per (doc, violation), no
+  stateful operators, so it runs with exactly-once file sinks).
+
+At the 10^12-doc design point the batch engine handles the backfill and
+this runs the live tail — same schema, same compiled checks, same
+violation-row contract.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .engine import ValidationEngine
+
+
+def validate_stream(engine: ValidationEngine, stream_df: DataFrame,
+                    schema_or_key: Union[str, dict], *,
+                    doc_id_col: str = "doc_id",
+                    draft: Optional[str] = None) -> DataFrame:
+    """Annotated streaming DataFrame (input + violations + valid)."""
+    return engine.validate(stream_df, schema_or_key, doc_id_col=doc_id_col,
+                           draft=draft).annotated
+
+
+def windowed_summary(annotated: DataFrame, *, time_col: str,
+                     window: str = "1 minute",
+                     watermark: str = "5 minutes") -> DataFrame:
+    """Event-time windowed pass/fail counts. Watermarked so state is
+    dropped once windows close — bounded memory on unbounded streams."""
+    return (annotated
+            .withWatermark(time_col, watermark)
+            .groupBy(F.window(F.col(time_col), window).alias("window"))
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum(F.col("valid").cast("long")).alias("pass"),
+                 F.sum((~F.col("valid")).cast("long")).alias("fail")))
+
+
+def violations_sink(annotated: DataFrame, *,
+                    doc_id_col: str = "doc_id") -> DataFrame:
+    """Exploded violation rows for ``writeStream`` (append-safe: a
+    stateless projection of each micro-batch)."""
+    return (annotated
+            .where(F.size("violations") > 0)
+            .select(F.col(doc_id_col).alias("doc_id"),
+                    F.explode("violations").alias("v"))
+            .select("doc_id", "v.error_kind", "v.error_type", "v.path",
+                    "v.schema_ptr", "v.value_json", "v.detail"))

@@ -1,0 +1,61 @@
+"""Physical-plan quality gates: the compiled validator must let
+Catalyst prune the parquet scan to schema-referenced columns, and
+filters must push down to the source. These are the properties that
+keep a 100 TB scan from reading 100 TB."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkjesse.engine import ValidationEngine
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_validation_summary_prunes_scan(spark):
+    docs = spark.read.parquet(DOCS)
+    res = ValidationEngine().validate(
+        docs.select("lang", "n_chars"),
+        {"type": "object",
+         "properties": {"lang": {"enum": ["en", "es"]},
+                        "n_chars": {"minimum": 50}}})
+    read = re.findall(r"ReadSchema: (\S+)", _plan(res.summary))
+    assert read, "no parquet scan found"
+    assert read[0] == "struct<lang:string,n_chars:bigint>"
+    # text (the widest column) must NOT be read
+    assert "text" not in read[0]
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    docs = spark.read.parquet(DOCS)
+    q = docs.where(F.col("lang") == "en").select("doc_id", "n_chars")
+    plan = _plan(q)
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "EqualTo(lang,en)" in pushed.group(1), plan[-800:]
+
+
+def test_broadcast_in_referential_check(spark):
+    from sparkjesse.dataset_checks import dangling_references
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    plan = _plan(dangling_references(li, "l_partkey", part, "p_partkey"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_stats_single_pass_no_shuffle_of_rows(spark):
+    """column_stats is one partial+final aggregation — the only
+    exchange carries aggregate buffers, not rows."""
+    from sparkjesse.dataset_checks import column_stats
+    docs = spark.read.parquet(DOCS)
+    plan = _plan(column_stats(docs, ["lang", "n_chars"]))
+    # exactly one exchange pair boundary (partial -> final agg)
+    assert plan.count("Exchange") <= 2
+    assert "HashAggregate" in plan or "SortAggregate" in plan \
+        or "ObjectHashAggregate" in plan

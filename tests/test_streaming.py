@@ -1,0 +1,91 @@
+"""Structured Streaming: the compiled plan validates micro-batches."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkjesse import streaming
+from sparkjesse.engine import ValidationEngine
+
+SCHEMA = {
+    "$schema": "http://json-schema.org/draft-04/schema#",
+    "type": "object",
+    "properties": {
+        "doc_id": {"type": "string", "pattern": "^d[0-9]+$"},
+        "n": {"type": "integer", "minimum": 0, "maximum": 3},
+    },
+}
+
+
+def _drain(query, timeout=60):
+    deadline = time.time() + timeout
+    while query.status["isDataAvailable"] and time.time() < deadline:
+        time.sleep(0.5)
+    query.processAllAvailable()
+
+
+def test_stream_validation_memory_sink(spark, tmp_path):
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("d1", 2), ("d2", 9), ("bogus", 1)],
+        "doc_id string, n long").write.mode("overwrite").json(src)
+    stream = spark.readStream.schema("doc_id string, n long").json(src)
+    assert stream.isStreaming
+    engine = ValidationEngine()
+    annotated = streaming.validate_stream(engine, stream, SCHEMA)
+    sink = streaming.violations_sink(annotated)
+    q = (sink.writeStream.format("memory").queryName("viol_t")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    try:
+        _drain(q)
+        rows = spark.sql("SELECT * FROM viol_t").collect()
+    finally:
+        q.stop()
+    got = sorted((r["doc_id"], r["error_type"], r["path"]) for r in rows)
+    assert got == [("bogus", "no_match", "/doc_id"),
+                   ("d2", "not_in_range", "/n")]
+
+
+def test_windowed_summary_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "in2")
+    spark.createDataFrame(
+        [("d1", 2, "2026-01-01 00:00:10"),
+         ("d2", 9, "2026-01-01 00:00:20"),
+         ("d3", 1, "2026-01-01 00:02:05")],
+        "doc_id string, n long, ts_s string") \
+        .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s") \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id string, n long, ts timestamp").parquet(src)
+    annotated = streaming.validate_stream(
+        ValidationEngine(), stream, SCHEMA)
+    summ = streaming.windowed_summary(annotated, time_col="ts",
+                                      window="1 minute",
+                                      watermark="10 minutes")
+    q = (summ.writeStream.format("memory").queryName("summ_t")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .start())
+    try:
+        _drain(q)
+        rows = spark.sql("SELECT * FROM summ_t").collect()
+    finally:
+        q.stop()
+    by_start = {str(r["window"]["start"]): (r["docs"], r["pass"], r["fail"])
+                for r in rows}
+    assert by_start["2026-01-01 00:00:00"] == (2, 1, 1)
+    assert by_start["2026-01-01 00:02:00"] == (1, 1, 0)
+
+
+def test_max_violations_budget(spark):
+    df = spark.createDataFrame([("bogus", 99)], "doc_id string, n long")
+    res = ValidationEngine().validate(df, SCHEMA,
+                                      max_violations_per_doc=1)
+    row = res.annotated.collect()[0]
+    assert row["valid"] is False
+    assert len(row["violations"]) == 1  # budget truncates, valid intact
