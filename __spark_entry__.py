@@ -58,6 +58,49 @@ DIVISIBLE_SCHEMA = {  # draft3 divisibleBy (jesse_validator_draft3.erl:806)
     "properties": {"n_chars": {"divisibleBy": 7}},
 }
 
+UNION_TYPE_SCHEMA = {  # draft3 union type with an inline schema member
+    "type": "object",
+    "properties": {
+        "lang": {"type": [{"enum": ["en", "es"]}, "integer"]},
+    },
+}
+
+ONEOF_SCHEMA = {
+    "$schema": "http://json-schema.org/draft-04/schema#",
+    "type": "object",
+    "properties": {
+        "n_chars": {"oneOf": [{"minimum": 300}, {"maximum": 100}]},
+    },
+}
+
+MULTIPLEOF_SCHEMA = {
+    "$schema": "http://json-schema.org/draft-04/schema#",
+    "type": "object",
+    "properties": {"n_chars": {"multipleOf": 5}},
+}
+
+ALLOF_NOT_SCHEMA = {
+    "$schema": "http://json-schema.org/draft-04/schema#",
+    "type": "object",
+    "properties": {
+        "source": {"allOf": [{"pattern": "^src"},
+                             {"not": {"enum": ["src0", "src1"]}}]},
+    },
+}
+
+DEPENDENCIES_SCHEMA = {  # draft4 array-form dependency a -> b
+    "$schema": "http://json-schema.org/draft-04/schema#",
+    "type": "object",
+    "properties": {"m": {"dependencies": {"a": ["b"]}}},
+}
+
+PROPS_JSON_SCHEMA = {  # dynamic-JSON path (pandas UDF) over events.props
+    "$schema": "http://json-schema.org/draft-04/schema#",
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 50}},
+}
+
 MAP_PROPS_SCHEMA = {  # patternProperties + additionalProperties on MapType
     "$schema": "http://json-schema.org/draft-04/schema#",
     "type": "object",
@@ -128,6 +171,58 @@ def _kw_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit("source"), F.col("source")).alias("m"))
     res = ValidationEngine().validate(df, MAP_PROPS_SCHEMA)
     return res.annotated.select("doc_id", "valid")
+
+
+def _kw_union_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Draft3 union type with an inline-schema member
+    (jesse_validator_draft3.erl:276-300)."""
+    df = _docs(spark, sf_dir).select("doc_id", "lang")
+    res = ValidationEngine().validate(df, UNION_TYPE_SCHEMA, draft=DRAFT3)
+    return res.annotated.select("doc_id", "valid")
+
+
+def _kw_oneof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    res = ValidationEngine().validate(df, ONEOF_SCHEMA)
+    return res.annotated.select("doc_id", "valid")
+
+
+def _kw_multipleof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    res = ValidationEngine().validate(df, MULTIPLEOF_SCHEMA)
+    return res.annotated.select("doc_id", "valid")
+
+
+def _kw_allof_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).select("doc_id", "source")
+    res = ValidationEngine().validate(df, ALLOF_NOT_SCHEMA)
+    return res.annotated.select("doc_id", "valid")
+
+
+def _kw_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dependencies a->b over a map whose keys are conditionally
+    present (presence derived from n_chars parity)."""
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.map_filter(
+            F.create_map(F.lit("a"), F.when(F.col("n_chars") % 2 == 0,
+                                            F.col("lang")),
+                         F.lit("b"), F.when(F.col("n_chars") % 3 == 0,
+                                            F.col("source"))),
+            lambda k, v: v.isNotNull()).alias("m"))
+    res = ValidationEngine().validate(df, DEPENDENCIES_SCHEMA)
+    return res.annotated.select("doc_id", "valid")
+
+
+def _v_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-JSON validation through the Arrow-batched pandas UDF
+    kernel (engine.validate_json) — the non-Catalyst leg of the
+    north star — over the events.props JSON strings."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    res = ValidationEngine().validate_json(ev, "props", PROPS_JSON_SCHEMA,
+                                           doc_id_col="event_id")
+    return res.annotated.select("event_id", "valid",
+                                F.size("violations").alias("n_violations"))
 
 
 # -- dataset checks ---------------------------------------------------------
@@ -262,6 +357,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_uniqueitems": _kw_uniqueitems,
         "kw_divisible": _kw_divisible,
         "kw_map_props": _kw_map_props,
+        "kw_union_type": _kw_union_type,
+        "kw_oneof": _kw_oneof,
+        "kw_multipleof": _kw_multipleof,
+        "kw_allof_not": _kw_allof_not,
+        "kw_dependencies": _kw_dependencies,
+        "v_json_props": _v_json_props,
         "ds_stats": _ds_stats,
         "ds_duplicates": _ds_duplicates,
         "ds_referential": _ds_referential,
@@ -436,6 +537,39 @@ SELECT doc_id,
        (lang IN ('en','es','de','fr')
         AND regexp_matches(source, '^src[0-9]$')) AS valid
 FROM documents
+""",
+        "kw_union_type": """
+SELECT doc_id, (lang IN ('en','es')) AS valid FROM documents
+""",
+        "kw_oneof": """
+SELECT doc_id,
+       ((CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+        + (CASE WHEN n_chars <= 100 THEN 1 ELSE 0 END)) = 1 AS valid
+FROM documents
+""",
+        "kw_multipleof": """
+SELECT doc_id, (n_chars % 5 = 0) AS valid FROM documents
+""",
+        "kw_allof_not": """
+SELECT doc_id,
+       (regexp_matches(source, '^src')
+        AND NOT source IN ('src0', 'src1')) AS valid
+FROM documents
+""",
+        "kw_dependencies": """
+SELECT doc_id,
+       (NOT (n_chars % 2 = 0) OR (n_chars % 3 = 0)) AS valid
+FROM documents
+""",
+        "v_json_props": """
+SELECT event_id,
+       (json_extract(props, '$.k') IS NOT NULL
+        AND json_extract(props, '$.k')::BIGINT BETWEEN 0 AND 50) AS valid,
+       (CASE WHEN json_extract(props, '$.k') IS NULL THEN 1
+             WHEN json_extract(props, '$.k')::BIGINT < 0 THEN 1
+             WHEN json_extract(props, '$.k')::BIGINT > 50 THEN 1
+             ELSE 0 END)::INT AS n_violations
+FROM events
 """,
         "ds_stats": "\nUNION ALL\n".join(
             _stats_col_sql(c)
