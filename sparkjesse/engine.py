@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass
+from functools import cached_property
 from typing import Any, Optional, Union
 
 import pandas as pd
@@ -39,9 +40,11 @@ class ValidationResult:
     annotated: DataFrame   # input + violations array<struct> + valid flag
     doc_id_col: str
 
-    @property
+    @cached_property
     def violations(self) -> DataFrame:
-        """Exploded violations table: one row per (doc, violation)."""
+        """Exploded violations table: one row per (doc, violation).
+        Cached: re-accessing must not re-run Catalyst analysis of the
+        (large) compiled expression tree."""
         return (
             self.annotated
             .where(F.size("violations") > 0)
@@ -51,10 +54,11 @@ class ValidationResult:
                     "v.schema_ptr", "v.value_json", "v.detail")
         )
 
-    @property
+    @cached_property
     def summary(self) -> DataFrame:
         """Per-partition pass/fail summary (north rule). Partial aggregation
-        happens map-side; one row per Spark partition."""
+        happens map-side; one row per Spark partition. Cached like
+        ``violations``."""
         return (
             self.annotated
             .select(F.spark_partition_id().alias("partition_id"),

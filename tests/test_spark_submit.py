@@ -62,4 +62,6 @@ def test_spark_submit_py_files(tmp_path, spark):
         cwd=str(tmp_path), env=env)
     assert proc2.returncode == 0, proc2.stderr[-3000:]
     result2 = json.loads(proc2.stdout.strip().splitlines()[-1])
-    assert result2["resume"]["skipped"] == [inp]
+    assert result2["resume"]["ran"] == []
+    assert len(result2["resume"]["skipped"]) == result2["partitions"] >= 1
+    assert result2["metrics"]["docs"] == 2000

@@ -37,6 +37,7 @@ def main() -> None:
     from sparkjesse.engine import ValidationEngine
     from sparkjesse.generator import INTERLEAVED_SCHEMA
     from sparkjesse.partitioning import salted_repartition
+    from sparkjesse import sources
 
     spark = SparkSession.builder.appName("sparkjesse-validate").getOrCreate()
     if args.schema_json:
@@ -45,32 +46,43 @@ def main() -> None:
     else:
         schema = INTERLEAVED_SCHEMA
 
-    docs = spark.read.parquet(args.input)
-    docs = salted_repartition(docs, "doc_id", args.partitions) \
-        .drop("__salt__")
     engine = ValidationEngine()
 
-    def process(_pid: str) -> dict:
+    def process(pid: str) -> dict:
+        docs = sources.read_partition(spark, args.input, pid)
+        docs = salted_repartition(docs, "doc_id", args.partitions) \
+            .drop("__salt__")
         res = engine.validate(docs, schema)
         res.summary.write.mode("overwrite") \
-           .parquet(f"{args.output}/summary")
+           .parquet(f"{args.output}/summary/{pid}")
         res.violations.write.mode("overwrite") \
-           .parquet(f"{args.output}/violations")
+           .parquet(f"{args.output}/violations/{pid}")
         row = (res.annotated
                .agg(F.count(F.lit(1)).alias("docs"),
                     F.sum((~F.col("valid")).cast("long")).alias("fail"))
                .collect()[0])
         return {"docs": int(row["docs"]), "fail": int(row["fail"] or 0)}
 
+    pids = sources.input_partitions(spark, args.input)
     if args.checkpoint:
         ledger = CheckpointLedger(args.checkpoint)
         out = run_with_checkpoints(
-            [args.input], process, ledger,
-            plan=plan_hash(schema), snapshot=args.input)
-        print(json.dumps({"resume": out,
-                          "metrics": ledger.metrics_rows()[-1]["metrics"]}))
+            pids, process, ledger,
+            plan=plan_hash(schema),
+            snapshot=sources.snapshot_id(args.input))
+        rows = ledger.metrics_rows()
+        total = {"docs": sum(r["metrics"].get("docs", 0) for r in rows
+                             if r["status"] == "done"),
+                 "fail": sum(r["metrics"].get("fail", 0) for r in rows
+                             if r["status"] == "done")}
+        print(json.dumps({"resume": out, "partitions": len(pids),
+                          "metrics": total}))
     else:
-        print(json.dumps(process(args.input)))
+        totals = [process(pid) for pid in pids]
+        print(json.dumps({"partitions": len(pids),
+                          "metrics": {
+                              "docs": sum(t["docs"] for t in totals),
+                              "fail": sum(t["fail"] for t in totals)}}))
 
 
 if __name__ == "__main__":
