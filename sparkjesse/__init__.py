@@ -24,6 +24,12 @@ from .errors import (  # noqa: F401
 from .pyvalidator import is_valid, validate_value  # noqa: F401
 from .registry import SchemaRegistry  # noqa: F401
 
+try:  # DataFrame engine — needs pyspark; the local kernel does not
+    from .engine import ValidationEngine, ValidationResult  # noqa: F401
+except ImportError:  # pragma: no cover
+    ValidationEngine = None  # type: ignore[assignment]
+    ValidationResult = None  # type: ignore[assignment]
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -31,6 +37,8 @@ __all__ = [
     "DRAFT4",
     "SchemaNotFound",
     "SchemaRegistry",
+    "ValidationEngine",
+    "ValidationResult",
     "Violation",
     "is_valid",
     "validate_value",

@@ -589,6 +589,7 @@ class CompiledPlan:
     draft: str
     checks: list[Column] = field(default_factory=list)        # viol-or-null
     array_checks: list[Column] = field(default_factory=list)  # array<viol>
+    row_gate: Optional[Column] = None  # true ⇒ row is valid (fast path)
 
     def violations_column(self) -> Column:
         parts: list[Column] = []
@@ -598,7 +599,14 @@ class CompiledPlan:
         if not parts:
             return _empty_violations()
         out = parts[0] if len(parts) == 1 else F.concat(*parts)
-        return F.coalesce(out, _empty_violations())
+        out = F.coalesce(out, _empty_violations())
+        if self.row_gate is not None:
+            # row-level short circuit: valid rows (the overwhelming
+            # majority at scale) evaluate only the boolean predicate —
+            # zero array/struct allocation on the hot path
+            out = F.when(F.coalesce(self.row_gate, F.lit(True)),
+                         _empty_violations()).otherwise(out)
+        return out
 
 
 def compile_plan(schema: dict, struct_type: StructType, *,
@@ -656,7 +664,49 @@ def compile_plan(schema: dict, struct_type: StructType, *,
                 plan.checks.append(F.when(
                     ~F.coalesce(p, F.lit(True)),
                     _viol(_atom_for(kw), F.lit(""), "/" + kw, F.lit(""))))
+    try:
+        plan.row_gate = _row_gate(root, struct_type, ctx)
+    except CompileError:
+        plan.row_gate = None
     return plan
+
+
+def _row_gate(root: dict, struct_type: StructType,
+              ctx: CompileContext) -> Column:
+    """Pure boolean row predicate mirroring ``compile_plan``'s check
+    branches — true ⇔ the row produces no violations. Used as the
+    row-level short circuit in ``CompiledPlan.violations_column``."""
+    by_name = {f_.name: f_ for f_ in struct_type.fields}
+    draft3 = ctx.draft == E.DRAFT3
+    gate = _true()
+    for kw, arg in root.items():
+        if kw == "properties" and isinstance(arg, dict):
+            for name, sub in arg.items():
+                if not isinstance(sub, dict):
+                    continue
+                fld = by_name.get(name)
+                if fld is None:
+                    if draft3 and sub.get("required") is True:
+                        gate = gate & F.lit(False)
+                    continue
+                col = F.col(name)
+                gate = gate & F.coalesce(
+                    compile_predicate(sub, col, fld.dataType, ctx),
+                    F.lit(True))
+                if draft3 and sub.get("required") is True:
+                    gate = gate & col.isNotNull()
+        elif kw == "required" and not draft3 and isinstance(arg, list):
+            for name in arg:
+                gate = gate & (F.col(name).isNotNull()
+                               if name in by_name else F.lit(False))
+        elif kw == "type":
+            continue
+        else:
+            row = F.struct(*[F.col(f_.name) for f_ in struct_type.fields])
+            p = _keyword_predicate(kw, arg, root, row, struct_type, ctx, 0)
+            if p is not None:
+                gate = gate & F.coalesce(p, F.lit(True))
+    return gate
 
 
 def _atom_for(kw: str) -> str:

@@ -137,7 +137,10 @@ def cpu_calibration(n: int) -> float:
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+    # default sized so the N-core run is compute-bound, not
+    # constant-overhead-bound — the row-gated validator does ~240k
+    # docs/sec on 2 cores, so small inputs measure scheduling, not work
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 32_000_000
     n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n4_cores = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * n_cores
     path = f"/tmp/sparkjesse_scale_docs_{n_docs}"
