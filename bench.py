@@ -24,7 +24,7 @@ from pyspark.sql import functions as F  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 from sparkjesse.engine import ValidationEngine  # noqa: E402
 from sparkjesse.generator import INTERLEAVED_SCHEMA, interleaved_documents  # noqa: E402
-from sparkjesse.partitioning import salted_repartition  # noqa: E402
+from sparkjesse.partitioning import detect_hot_keys  # noqa: E402
 
 # representative subset of the driver-checked queries (full set runs in
 # the correctness gate; the bench picks the heavy/interesting ones)
@@ -80,10 +80,10 @@ def main() -> None:
         interleaved_documents(spark, n_docs, seed=42, partitions=cpus * 4) \
             .write.mode("overwrite").parquet(fixture)
     docs = spark.read.parquet(fixture)
-    docs = salted_repartition(docs, "doc_id", cpus * 4).drop("__salt__")
     t0 = time.perf_counter()
+    skew = detect_hot_keys(docs, "doc_id")
     res = ValidationEngine().validate(docs, INTERLEAVED_SCHEMA)
-    summary = res.summary.agg(
+    summary = res.key_aligned_summary(cpus * 4, skew=skew).agg(
         F.sum("docs").alias("docs"), F.sum("fail").alias("fail")).collect()[0]
     flagship_sec = time.perf_counter() - t0
     timings["flagship_interleaved_validate"] = round(flagship_sec, 3)

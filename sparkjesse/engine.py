@@ -69,6 +69,32 @@ class ValidationResult:
                  F.sum((~F.col("valid")).cast("long")).alias("fail"))
         )
 
+    def key_aligned_summary(self, num_partitions: int, *,
+                            skew=None) -> DataFrame:
+        """Pass/fail summary per ``hash(doc_id)`` partition (north
+        rule: per-partition passes with explicit repartitioning on
+        doc_id hash, salted for skew).
+
+        Shuffle discipline: validation runs map-side on the input
+        partitions; only the narrow ``(doc_id, valid)`` pairs are
+        repartitioned — never the (wide, nested) document rows. At the
+        10^12-row design point that cuts shuffle volume by the full
+        document width. Pass ``skew`` from
+        ``partitioning.detect_hot_keys`` run against the *source* key
+        column (a column-pruned scan) so detection never re-runs
+        validation."""
+        from .partitioning import SALT_COL, salted_repartition
+        pairs = self.annotated.select(F.col(self.doc_id_col).alias("doc_id"),
+                                      F.col("valid"))
+        rep = salted_repartition(pairs, "doc_id", num_partitions,
+                                 skew=skew).drop(SALT_COL)
+        return (rep.select(F.spark_partition_id().alias("partition_id"),
+                           F.col("valid"))
+                   .groupBy("partition_id")
+                   .agg(F.count(F.lit(1)).alias("docs"),
+                        F.sum(F.col("valid").cast("long")).alias("pass"),
+                        F.sum((~F.col("valid")).cast("long")).alias("fail")))
+
     def totals(self) -> dict:
         row = (self.annotated
                .agg(F.count(F.lit(1)).alias("docs"),

@@ -49,6 +49,29 @@ def test_broadcast_in_referential_check(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_key_aligned_summary_shuffles_narrow_pairs_only(spark, tmp_path):
+    """The per-key-partition summary must shuffle (doc_id, valid, salt)
+    — never the wide nested document rows."""
+    from sparkjesse.generator import INTERLEAVED_SCHEMA, \
+        interleaved_documents
+    path = str(tmp_path / "docs")
+    interleaved_documents(spark, 500, seed=42).write.parquet(path)
+    docs = spark.read.parquet(path)
+    res = ValidationEngine().validate(docs, INTERLEAVED_SCHEMA)
+    summ = res.key_aligned_summary(8)
+    plan = _plan(summ)
+    # the doc_id-keyed exchange (plans print top-down, so the tiny
+    # final-agg exchange appears first; the keyed one is below it)
+    k = plan.find("Exchange hashpartitioning(doc_id")
+    assert k >= 0, plan[:800]
+    # everything above the keyed exchange is post-shuffle and must not
+    # touch the spans column — the wide rows never cross the wire
+    assert "spans" not in plan[:k]
+    # totals still correct
+    row = summ.agg(F.sum("docs")).collect()[0]
+    assert row[0] == 500
+
+
 def test_stats_single_pass_no_shuffle_of_rows(spark):
     """column_stats is one partial+final aggregation — the only
     exchange carries aggregate buffers, not rows."""

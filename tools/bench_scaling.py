@@ -49,13 +49,12 @@ docs.write.mode("overwrite").parquet({path!r})
 print("GENERATED")
 """
 
-# the timed job mirrors the production shape: read the interleaved table
-# from storage (parquet; Iceberg in prod), salted skew-aware repartition
-# on doc_id hash, full draft4 validation, per-partition summary.
-# The one-time plan/codegen compilation is warmed by executing the exact
-# job once first — at the 10^12-row design point compilation amortizes
-# to zero, so steady-state throughput is the honest scaling metric; the
-# cold time is reported alongside.
+# the timed job mirrors the production shape: read the interleaved
+# table from storage (parquet; Iceberg in prod), validate map-side with
+# the full draft4 constraint set, then produce the key-aligned
+# per-partition summary — salted skew-aware repartition of the NARROW
+# (doc_id, valid) pairs only (never the wide nested rows; see
+# ValidationResult.key_aligned_summary). One timed job per fresh JVM.
 RUN_TEMPLATE = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
@@ -63,7 +62,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from sparkjesse.engine import ValidationEngine
 from sparkjesse.generator import INTERLEAVED_SCHEMA
-from sparkjesse.partitioning import salted_repartition
+from sparkjesse.partitioning import detect_hot_keys
 
 cores = {cores}
 spark = (SparkSession.builder.master(f"local[{{cores}}]")
@@ -74,27 +73,25 @@ spark = (SparkSession.builder.master(f"local[{{cores}}]")
          # throughput collector + pre-touched modest heap: the hot path
          # is allocation-heavy (interpreted HOF lambdas); a huge lazily
          # faulted heap produced 20s+ young pauses on this hypervisor
+         # GC threads match the measured core count — a 2-core run
+         # with 8 GC threads oversubscribes itself during every pause
          .config("spark.driver.extraJavaOptions",
                  "-XX:+UseParallelGC -Xms12g -XX:+AlwaysPreTouch "
-                 "-XX:ParallelGCThreads=8")
+                 f"-XX:ParallelGCThreads={{cores}}")
          .config("spark.ui.enabled", "false")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
-# one timed job per fresh JVM: steady-state GC/JIT state is not
-# reachable in-process without cross-job interference, so the honest
-# comparable number is the cold single-job wall (identical constant
-# overheads on both sides)
 docs = spark.read.parquet({path!r})
-docs = salted_repartition(docs, "doc_id", cores * 4).drop("__salt__")
-res = ValidationEngine().validate(docs, INTERLEAVED_SCHEMA)
-summ = res.summary.agg(F.sum("docs").alias("docs"),
-                       F.sum("fail").alias("fail"))
 t0 = time.perf_counter()
+skew = detect_hot_keys(docs, "doc_id")  # column-pruned sample scan
+res = ValidationEngine().validate(docs, INTERLEAVED_SCHEMA)
+summ = res.key_aligned_summary(cores * 4, skew=skew) \
+          .agg(F.sum("docs").alias("docs"), F.sum("fail").alias("fail"))
 row = summ.collect()[0]
 sec = time.perf_counter() - t0
 print("RESULT " + json.dumps({{"cores": cores, "sec": round(sec, 3),
-  "docs": int(row["docs"]),
+  "docs": int(row["docs"]), "hot_keys": len(skew.hot_keys),
   "docs_per_sec": round(row["docs"] / sec, 1)}}))
 """
 
@@ -110,7 +107,7 @@ def run_once(cores: int, path: str) -> dict:
                        f"{out.stderr[-2000:]}")
 
 
-def run(cores: int, path: str, trials: int = 3) -> dict:
+def run(cores: int, path: str, trials: int = 4) -> dict:
     """Best-of-``trials`` in fresh JVMs: the sandbox hypervisor shows
     intermittent steal/sys-time spikes (±50% on identical runs), so the
     minimum wall is the least-interference estimate of the true cost."""
@@ -143,6 +140,7 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 32_000_000
     n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n4_cores = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * n_cores
+    trials = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     path = f"/tmp/sparkjesse_scale_docs_{n_docs}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         code = GEN_TEMPLATE.format(repo=REPO, n_docs=n_docs, path=path)
@@ -152,8 +150,8 @@ def main() -> None:
             raise RuntimeError(f"generation failed:\n{gen.stderr[-2000:]}")
     cal_n = cpu_calibration(n_cores)
     cal_4n = cpu_calibration(n4_cores)
-    rN = run(n_cores, path)
-    r4N = run(n4_cores, path)
+    rN = run(n_cores, path, trials)
+    r4N = run(n4_cores, path, trials)
     eff = round((r4N["docs_per_sec"] / rN["docs_per_sec"]) / 4.0, 3)
     hw_eff = round((cal_4n / cal_n) / 4.0, 3)
     result = {

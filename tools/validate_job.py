@@ -36,7 +36,7 @@ def main() -> None:
                                        run_with_checkpoints)
     from sparkjesse.engine import ValidationEngine
     from sparkjesse.generator import INTERLEAVED_SCHEMA
-    from sparkjesse.partitioning import salted_repartition
+    from sparkjesse.partitioning import detect_hot_keys
     from sparkjesse import sources
 
     spark = SparkSession.builder.appName("sparkjesse-validate").getOrCreate()
@@ -50,11 +50,13 @@ def main() -> None:
 
     def process(pid: str) -> dict:
         docs = sources.read_partition(spark, args.input, pid)
-        docs = salted_repartition(docs, "doc_id", args.partitions) \
-            .drop("__salt__")
+        skew = detect_hot_keys(docs, "doc_id")
         res = engine.validate(docs, schema)
-        res.summary.write.mode("overwrite") \
-           .parquet(f"{args.output}/summary/{pid}")
+        # violations are written map-side from the input partitions;
+        # only the narrow (doc_id, valid) pairs shuffle for the
+        # key-aligned summary
+        res.key_aligned_summary(args.partitions, skew=skew) \
+           .write.mode("overwrite").parquet(f"{args.output}/summary/{pid}")
         res.violations.write.mode("overwrite") \
            .parquet(f"{args.output}/violations/{pid}")
         row = (res.annotated
