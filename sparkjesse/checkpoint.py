@@ -99,6 +99,23 @@ class CheckpointLedger:
     def metrics_rows(self) -> list[dict]:
         return [json.loads(e.to_json()) for e in self._read_all()]
 
+    def lineage_metrics(self, plan: str, snapshot: str) -> list[dict]:
+        """Done metrics for ONE lineage — latest attempt per partition.
+        Totals must never sum raw ``metrics_rows()``: after a schema or
+        data change the ledger still holds old-lineage rows (and
+        possibly several attempts per partition), which would
+        double-count docs/fail."""
+        best: dict[str, LedgerEntry] = {}
+        for e in self._read_all():
+            if e.status != "done" or e.plan_hash != plan \
+                    or e.snapshot_id != snapshot:
+                continue
+            cur = best.get(e.partition_id)
+            if cur is None or e.attempt > cur.attempt:
+                best[e.partition_id] = e
+        return [json.loads(e.to_json())
+                for _, e in sorted(best.items())]
+
 
 def run_with_checkpoints(
     partitions: Iterable[str],

@@ -70,30 +70,50 @@ class ValidationResult:
         )
 
     def key_aligned_summary(self, num_partitions: int, *,
-                            skew=None) -> DataFrame:
+                            skew=None, physical: bool = False) -> DataFrame:
         """Pass/fail summary per ``hash(doc_id)`` partition (north
         rule: per-partition passes with explicit repartitioning on
         doc_id hash, salted for skew).
 
-        Shuffle discipline: validation runs map-side on the input
-        partitions; only the narrow ``(doc_id, valid)`` pairs are
-        repartitioned — never the (wide, nested) document rows. At the
-        10^12-row design point that cuts shuffle volume by the full
-        document width. Pass ``skew`` from
+        Default (``physical=False``): the partition id is computed
+        *logically* — ``pmod(hash(doc_id, salt), n)``, bit-identical to
+        what Spark's HashPartitioning assigns — and aggregated with a
+        two-phase groupBy. Partial aggregation collapses each map task
+        to at most ``num_partitions`` rows before the exchange, so the
+        shuffle moves ~``tasks × n`` counter rows instead of every
+        (doc_id, valid) pair: at the 10^12-row design point that is the
+        difference between a multi-TB shuffle and a few MB, and hot
+        keys cannot skew a shuffle that never carries per-row data.
+
+        ``physical=True`` keeps the explicit ``repartition(n,
+        hash(doc_id), salt)`` + per-Spark-partition aggregation — the
+        shape you want when per-row work (partitioned sinks, per-key
+        passes) must actually follow the exchange. Both modes produce
+        identical summaries (asserted in tests). Pass ``skew`` from
         ``partitioning.detect_hot_keys`` run against the *source* key
         column (a column-pruned scan) so detection never re-runs
         validation."""
-        from .partitioning import SALT_COL, salted_repartition
+        from .partitioning import (SALT_COL, SkewReport, salt_column,
+                                   salted_repartition)
         pairs = self.annotated.select(F.col(self.doc_id_col).alias("doc_id"),
                                       F.col("valid"))
-        rep = salted_repartition(pairs, "doc_id", num_partitions,
-                                 skew=skew).drop(SALT_COL)
-        return (rep.select(F.spark_partition_id().alias("partition_id"),
-                           F.col("valid"))
-                   .groupBy("partition_id")
-                   .agg(F.count(F.lit(1)).alias("docs"),
-                        F.sum(F.col("valid").cast("long")).alias("pass"),
-                        F.sum((~F.col("valid")).cast("long")).alias("fail")))
+        agg = [F.count(F.lit(1)).alias("docs"),
+               F.sum(F.col("valid").cast("long")).alias("pass"),
+               F.sum((~F.col("valid")).cast("long")).alias("fail")]
+        if physical:
+            rep = salted_repartition(pairs, "doc_id", num_partitions,
+                                     skew=skew).drop(SALT_COL)
+            return (rep.select(F.spark_partition_id().alias("partition_id"),
+                               F.col("valid"))
+                       .groupBy("partition_id").agg(*agg))
+        if skew is None:
+            skew = SkewReport(0, [], 0.0)
+        salt = salt_column(pairs, "doc_id", skew)
+        # pmod(hash(...), n) is exactly HashPartitioning's partition-id
+        # expression (Murmur3 + pmod) — logical and physical modes agree
+        pid = F.pmod(F.hash(F.col("doc_id"), salt), F.lit(num_partitions))
+        return (pairs.select(pid.alias("partition_id"), F.col("valid"))
+                     .groupBy("partition_id").agg(*agg))
 
     def totals(self) -> dict:
         row = (self.annotated

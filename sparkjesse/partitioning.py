@@ -30,7 +30,8 @@ class SkewReport:
 
 
 def detect_hot_keys(df: DataFrame, key: str, *, sample_fraction: float = 0.05,
-                    hot_share: float = 0.002, target_rows: int = 500_000,
+                    hot_share: float = 0.002,
+                    target_rows: int | None = None,
                     seed: int = 7) -> SkewReport:
     """Sample the key column and flag keys holding more than ``hot_share``
     of the sampled mass. One small job over a sampled projection — the
@@ -39,10 +40,13 @@ def detect_hot_keys(df: DataFrame, key: str, *, sample_fraction: float = 0.05,
     ``hot_share`` is 0.2%: at 10^12 rows a 0.2% key is 2×10^9 rows in
     one hash partition — far past straggler territory.
 
-    ``target_rows`` caps the expected sample size: for sources with a
-    cheap count (parquet/Iceberg metadata) the fraction shrinks so the
-    detection job stays O(target) however big the table — at 10^12 rows
-    a fixed 5% sample would itself be a 5×10^10-row job."""
+    ``target_rows`` (opt-in) caps the expected sample size by shrinking
+    the fraction from a ``df.count()``: pass it ONLY when the count is
+    cheap (a bare parquet/Iceberg scan, catalog statistics). On a
+    derived DataFrame the count would execute the whole upstream
+    pipeline once before sampling — defaulting to off keeps detection a
+    single sampled job. At 10^12 rows, size ``sample_fraction`` so the
+    sampled scan stays bounded instead."""
     if target_rows:
         try:
             n = df.count()
@@ -62,29 +66,50 @@ def detect_hot_keys(df: DataFrame, key: str, *, sample_fraction: float = 0.05,
     return SkewReport(rows, [(r[key], r["count"]) for r in hot], hot_share)
 
 
+def salt_column(df: DataFrame, key: str, skew: SkewReport, *,
+                salt_buckets: int = 16,
+                tiebreak: Column | str | None = None) -> Column:
+    """Deterministic per-row salt: 0 for cold keys; hot keys spread over
+    ``salt_buckets`` via a hash of ``tiebreak``.
+
+    ``tiebreak`` MUST be a deterministic function of row content — never
+    ``monotonically_increasing_id()``/``rand()``/``spark_partition_id()``:
+    those re-evaluate differently when a stage is partially re-executed
+    after a fetch failure (SPARK-23207 class), silently routing re-
+    computed rows to different salt buckets and corrupting downstream
+    per-partition results. Default: ``xxhash64`` over every column of
+    ``df`` — stable under retries. Rows that are full byte-duplicates
+    collide into one bucket (exact duplicates are the dedup operators'
+    job, not the salter's); pass a cheap unique column (e.g. a source
+    row uid) as ``tiebreak`` when rows can be wide or fully identical."""
+    hot_values = [k for k, _ in skew.hot_keys]
+    if not hot_values:
+        return F.lit(0)
+    if tiebreak is None:
+        tb = F.xxhash64(*[F.col(c) for c in df.columns])
+    else:
+        tb = F.xxhash64(F.col(tiebreak) if isinstance(tiebreak, str)
+                        else tiebreak)
+    return (F.when(F.col(key).isin(hot_values),
+                   F.pmod(tb, F.lit(salt_buckets)))
+            .otherwise(F.lit(0))).cast("int")
+
+
 def salted_repartition(df: DataFrame, key: str, num_partitions: int, *,
                        skew: SkewReport | None = None,
                        salt_buckets: int = 16,
-                       sample_fraction: float = 0.05) -> DataFrame:
+                       sample_fraction: float = 0.05,
+                       tiebreak: Column | str | None = None) -> DataFrame:
     """Repartition on ``hash(key)`` with per-hot-key salting. Cold keys get
     salt 0 (plan unchanged for them); hot keys spread across
-    ``salt_buckets`` partitions via a deterministic hash of a tiebreak
-    column set. Adds ``__salt__`` (callers may drop it)."""
+    ``salt_buckets`` partitions via a deterministic content hash (see
+    ``salt_column`` for the tiebreak contract). Adds ``__salt__``
+    (callers may drop it)."""
     if skew is None:
         skew = detect_hot_keys(df, key, sample_fraction=sample_fraction)
-    hot_values = [k for k, _ in skew.hot_keys]
-    if hot_values:
-        # tiebreak hashes only (key, row ordinal): hashing whole rows
-        # (nested arrays!) costs ~7x the shuffle itself — and Spark's
-        # subexpression elimination evaluates the hoisted hash for every
-        # row, hot or not, so the tiebreak must be cheap unconditionally
-        tiebreak = F.xxhash64(F.col(key), F.monotonically_increasing_id())
-        salt = (F.when(F.col(key).isin(hot_values),
-                       F.pmod(tiebreak, F.lit(salt_buckets)))
-                .otherwise(F.lit(0))).cast("int")
-    else:
-        salt = F.lit(0)
-    out = df.withColumn(SALT_COL, salt)
+    out = df.withColumn(SALT_COL, salt_column(df, key, skew,
+                                              salt_buckets=salt_buckets,
+                                              tiebreak=tiebreak))
     return out.repartition(num_partitions, F.col(key), F.col(SALT_COL))
 
 

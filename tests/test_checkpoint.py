@@ -78,3 +78,32 @@ def test_plan_change_invalidates(tmp_path):
     out2 = run_with_checkpoints(["p0"], process, ledger,
                                 plan=plan_hash({"v": 2}), snapshot="snap-2")
     assert out2["ran"] == ["p0"]  # new snapshot ⇒ re-run
+
+
+def test_lineage_metrics_filters_and_dedupes(tmp_path):
+    """Totals must come from the latest done attempt per partition of
+    ONE lineage — old-lineage rows and superseded attempts are excluded
+    (they would double-count after a schema/data change)."""
+    ledger = CheckpointLedger(str(tmp_path))
+    old_plan, new_plan = plan_hash({"v": 1}), plan_hash({"v": 2})
+    # old lineage fully done
+    ledger.record(LedgerEntry("p0", "done", old_plan, "s1", 1,
+                              {"docs": 10, "fail": 1}))
+    ledger.record(LedgerEntry("p1", "done", old_plan, "s1", 1,
+                              {"docs": 10, "fail": 2}))
+    # new lineage: p0 done twice (retry), p1 failed once then done
+    ledger.record(LedgerEntry("p0", "done", new_plan, "s1", 1,
+                              {"docs": 11, "fail": 0}))
+    ledger.record(LedgerEntry("p0", "done", new_plan, "s1", 2,
+                              {"docs": 12, "fail": 3}))
+    ledger.record(LedgerEntry("p1", "failed", new_plan, "s1", 1,
+                              {"error": "boom"}))
+    ledger.record(LedgerEntry("p1", "done", new_plan, "s1", 2,
+                              {"docs": 12, "fail": 4}))
+    rows = ledger.lineage_metrics(new_plan, "s1")
+    assert [(r["partition_id"], r["attempt"]) for r in rows] == \
+        [("p0", 2), ("p1", 2)]
+    assert sum(r["metrics"]["docs"] for r in rows) == 24
+    assert sum(r["metrics"]["fail"] for r in rows) == 7
+    # raw metrics_rows still sees everything (debug surface)
+    assert len(ledger.metrics_rows()) == 6

@@ -49,16 +49,17 @@ def test_broadcast_in_referential_check(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
-def test_key_aligned_summary_shuffles_narrow_pairs_only(spark, tmp_path):
-    """The per-key-partition summary must shuffle (doc_id, valid, salt)
-    — never the wide nested document rows."""
+def test_key_aligned_summary_physical_shuffles_narrow_pairs_only(
+        spark, tmp_path):
+    """physical=True: the explicit repartition must shuffle (doc_id,
+    valid, salt) — never the wide nested document rows."""
     from sparkjesse.generator import INTERLEAVED_SCHEMA, \
         interleaved_documents
     path = str(tmp_path / "docs")
     interleaved_documents(spark, 500, seed=42).write.parquet(path)
     docs = spark.read.parquet(path)
     res = ValidationEngine().validate(docs, INTERLEAVED_SCHEMA)
-    summ = res.key_aligned_summary(8)
+    summ = res.key_aligned_summary(8, physical=True)
     plan = _plan(summ)
     # the doc_id-keyed exchange (plans print top-down, so the tiny
     # final-agg exchange appears first; the keyed one is below it)
@@ -70,6 +71,30 @@ def test_key_aligned_summary_shuffles_narrow_pairs_only(spark, tmp_path):
     # totals still correct
     row = summ.agg(F.sum("docs")).collect()[0]
     assert row[0] == 500
+
+
+def test_key_aligned_summary_logical_matches_physical(spark, tmp_path):
+    """Default (logical) mode: two-phase agg over pmod(hash(key, salt))
+    — only aggregate buffers cross the exchange, and the summary is
+    bit-identical to the physically-repartitioned one."""
+    from sparkjesse.generator import INTERLEAVED_SCHEMA, \
+        interleaved_documents
+    from sparkjesse.partitioning import detect_hot_keys
+    path = str(tmp_path / "docs")
+    interleaved_documents(spark, 2000, seed=42).write.parquet(path)
+    docs = spark.read.parquet(path)
+    skew = detect_hot_keys(docs, "doc_id", sample_fraction=1.0)
+    assert skew.hot_keys, "generator should produce hot keys"
+    res = ValidationEngine().validate(docs, INTERLEAVED_SCHEMA)
+    log = res.key_aligned_summary(8, skew=skew)
+    phys = res.key_aligned_summary(8, skew=skew, physical=True)
+    plan = _plan(log)
+    # no row-carrying keyed exchange: just the partial->final agg pair
+    assert "Exchange hashpartitioning(doc_id" not in plan
+    assert plan.count("Exchange") <= 2, plan[:1200]
+    key = lambda r: r["partition_id"]  # noqa: E731
+    assert sorted(log.collect(), key=key) == \
+        sorted(phys.collect(), key=key)
 
 
 def test_stats_single_pass_no_shuffle_of_rows(spark):

@@ -65,3 +65,31 @@ def test_spark_submit_py_files(tmp_path, spark):
     assert result2["resume"]["ran"] == []
     assert len(result2["resume"]["skipped"]) == result2["partitions"] >= 1
     assert result2["metrics"]["docs"] == 2000
+
+
+def test_batch_single_evaluation(spark, tmp_path):
+    """The batch flow validates each input partition ONCE: with the
+    annotated frame persisted, every sink after the first reads the
+    cache (InMemoryTableScan), not a fresh parquet scan + re-validate,
+    and totals come from the already-written summary files."""
+    from pyspark.sql import functions as F
+    from sparkjesse.engine import ValidationEngine
+    from sparkjesse.generator import INTERLEAVED_SCHEMA, \
+        interleaved_documents
+
+    inp = str(tmp_path / "docs")
+    interleaved_documents(spark, 1000, seed=42).write.parquet(inp)
+    docs = spark.read.parquet(inp)
+    res = ValidationEngine().validate(docs, INTERLEAVED_SCHEMA)
+    ann = res.annotated.persist()
+    try:
+        out = str(tmp_path / "summary")
+        res.key_aligned_summary(8).write.parquet(out)  # fills the cache
+        plan = res.violations._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan[:1200]
+        row = (spark.read.parquet(out)
+               .agg(F.sum("docs").alias("docs")).collect()[0])
+        assert row["docs"] == 1000
+    finally:
+        ann.unpersist()
