@@ -225,6 +225,47 @@ def _v_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.size("violations").alias("n_violations"))
 
 
+SPAN_SCHEMA = {  # per-element array validation with pointer paths
+    "$schema": "http://json-schema.org/draft-04/schema#",
+    "type": "object",
+    "properties": {
+        "spans": {
+            "type": "array",
+            "items": {
+                "type": "object",
+                "properties": {
+                    "kind": {"type": "string", "minLength": 3},
+                    "offset": {"type": "integer", "minimum": 2,
+                               "maximum": 30},
+                },
+            },
+        },
+    },
+}
+
+
+def _v_span_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-element array violations with dynamic /spans/{i}/... pointer
+    paths (compiler `_items_violations` — index built inside the
+    transform lambda, fully JVM-side). Spans are derived
+    deterministically from the documents table: span i (0-based) =
+    (kind = token i+1, offset = len(token)·(i+1)) over the first 4
+    tokens."""
+    df = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    n = F.least(F.size(toks), F.lit(4))
+    spans = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("kind"),
+            (F.length(F.element_at(toks, i)) * i).cast("long")
+            .alias("offset")))
+    res = ValidationEngine().validate(
+        df.select("doc_id", spans.alias("spans")), SPAN_SCHEMA)
+    return res.violations.select("doc_id", "error_type", "path",
+                                 "schema_ptr")
+
+
 # -- dataset checks ---------------------------------------------------------
 
 def _ds_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,6 +344,14 @@ def _dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir), bits=16)
 
 
+def _dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole-banded SimHash near-pairs: 64-bit fingerprint split
+    into 4×16-bit bands; any pair within hamming 3 agrees on ≥1 band
+    (perfect recall), per-band equijoin + inline hamming verify."""
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), bits=64,
+                                    max_hamming=3)
+
+
 def _dd_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _docs(spark, sf_dir).where(F.col("doc_id") < 40)
     pairs = (df.alias("a").select(F.col("doc_id").alias("id_a"))
@@ -312,6 +361,8 @@ def _dd_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dd_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket-blocked near-dup pairs (the scale-safe default):
+    the self-join is an equijoin on the 4-bit hyperplane bucket."""
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
     return dedup.embedding_near_duplicates(emb, threshold=0.30)
 
@@ -325,9 +376,12 @@ def _sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probed ANN: 8-bit sign buckets, query probes its own +
+    every Hamming-1 bucket (9 of 256) — finer pruning than bits=4
+    without single-probe recall collapse."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ann_topk_bucketed(emb.where(F.col("vec_id") < 8), emb,
-                                        k=3, bits=4)
+                                        k=3, bits=8, multiprobe=1)
 
 
 # -- KVC path / aggregate mini-language (SURVEY.md §2.3) --------------------
@@ -363,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_allof_not": _kw_allof_not,
         "kw_dependencies": _kw_dependencies,
         "v_json_props": _v_json_props,
+        "v_span_violations": _v_span_violations,
         "ds_stats": _ds_stats,
         "ds_duplicates": _ds_duplicates,
         "ds_referential": _ds_referential,
@@ -376,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_exact": _dd_exact,
         "dd_minhash": _dd_minhash,
         "dd_simhash": _dd_simhash,
+        "dd_simhash_pairs": _dd_simhash_pairs,
         "dd_jaccard": _dd_jaccard,
         "dd_embed": _dd_embed,
         "sim_topk": _sim_topk,
@@ -441,6 +497,46 @@ WITH t AS (SELECT doc_id,
 d AS (SELECT doc_id, md5(tok) AS dg FROM t),
 v AS (SELECT doc_id, {', '.join(votes)} FROM d GROUP BY doc_id)
 SELECT doc_id, ({fp})::BIGINT AS simhash FROM v
+"""
+
+
+def _simhash_pairs_sql(bits: int = 64, max_hamming: int = 3) -> str:
+    """Banded-SimHash near pairs: same 4×16-bit pigeonhole pipeline as
+    ``dedup.simhash_near_pairs`` (band equijoin + hamming verify)."""
+    bands = max_hamming + 1
+    band_bits = bits // bands
+    votes = []
+    for j in range(bits):
+        nib = (f"(strpos('0123456789abcdef',"
+               f" substr(dg, {j // 4 + 1}, 1)) - 1)")
+        votes.append(f"sum(CASE WHEN (({nib} >> {j % 4}) & 1) = 1"
+                     f" THEN 1 ELSE -1 END) AS s{j}")
+    band_exprs = []
+    for b in range(bands):
+        bits_sum = " + ".join(
+            f"(CASE WHEN s{b * band_bits + k} > 0 THEN {2 ** k}"
+            f" ELSE 0 END)"
+            for k in range(band_bits))
+        band_exprs.append(f"({bits_sum})::BIGINT AS band{b}")
+    all_bands = ", ".join(f"band{b}" for b in range(bands))
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS bkey, {all_bands} FROM f"
+        for b in range(bands))
+    ham = " + ".join(
+        f"bit_count(xor(a.band{b}, b.band{b}))" for b in range(bands))
+    return f"""
+WITH t AS (SELECT doc_id,
+             unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+d AS (SELECT doc_id, md5(tok) AS dg FROM t),
+v AS (SELECT doc_id, {', '.join(votes)} FROM d GROUP BY doc_id),
+f AS (SELECT doc_id, {', '.join(band_exprs)} FROM v),
+bands AS ({band_rows}),
+p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        ({ham})::INT AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM p WHERE hamming <= {max_hamming}
 """
 
 
@@ -571,6 +667,28 @@ SELECT event_id,
              ELSE 0 END)::INT AS n_violations
 FROM events
 """,
+        "v_span_violations": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id,
+        unnest([{{'idx': i - 1, 'kind': toks[i],
+                  'off': length(toks[i]) * i}}
+                FOR i IN range(1, least(len(toks), 4) + 1)]) AS sp
+      FROM t),
+e AS (SELECT doc_id, sp.idx AS idx, sp.kind AS kind, sp.off AS off
+      FROM s)
+SELECT doc_id, 'wrong_length' AS error_type,
+       '/spans/' || idx || '/kind' AS path,
+       '/properties/spans/items/properties/kind/minLength' AS schema_ptr
+FROM e WHERE length(kind) < 3
+UNION ALL
+SELECT doc_id, 'not_in_range', '/spans/' || idx || '/offset',
+       '/properties/spans/items/properties/offset/minimum'
+FROM e WHERE off < 2
+UNION ALL
+SELECT doc_id, 'not_in_range', '/spans/' || idx || '/offset',
+       '/properties/spans/items/properties/offset/maximum'
+FROM e WHERE off > 30
+""",
         "ds_stats": "\nUNION ALL\n".join(
             _stats_col_sql(c)
             for c in ["doc_id", "lang", "source", "n_chars"]),
@@ -667,6 +785,7 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 """,
         "dd_minhash": _minhash_sql(4, 2),
         "dd_simhash": _simhash_sql(16),
+        "dd_simhash_pairs": _simhash_pairs_sql(64, 3),
         "dd_jaccard": f"""
 WITH s AS (SELECT doc_id, {_SHINGLES} AS sh
            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
@@ -682,10 +801,16 @@ FROM p
 WHERE len(list_intersect(sh_a, sh_b)) > 0
 """,
         "dd_embed": f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+WITH e AS (SELECT vec_id, embedding,
+             ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+              + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+              + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END))::INT
+               AS bucket
+           FROM embeddings WHERE vec_id < 200)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.30
 """,
         "sim_topk": f"""
@@ -700,17 +825,20 @@ FROM r WHERE rk <= 5
 """,
         "sim_ann": f"""
 WITH b AS (SELECT vec_id, embedding,
-             ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-              + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-              + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-              + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END))::INT
-               AS bucket
+             ({' + '.join(f'(CASE WHEN embedding[{i + 1}] > 0'
+                          f' THEN {2 ** i} ELSE 0 END)'
+                          for i in range(8))})::INT AS bucket
            FROM embeddings),
 q AS (SELECT * FROM b WHERE vec_id < 8),
-scored AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-             {_cosine_sql('q.embedding', 'e.embedding')} AS cosine
-           FROM q JOIN b e ON q.bucket = e.bucket
-           WHERE q.vec_id <> e.vec_id),
+probes AS (SELECT vec_id, embedding,
+             unnest([bucket,
+                     {', '.join(f'xor(bucket, {1 << i})'
+                                for i in range(8))}]) AS bucket
+           FROM q),
+scored AS (SELECT p.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {_cosine_sql('p.embedding', 'e.embedding')} AS cosine
+           FROM probes p JOIN b e ON p.bucket = e.bucket
+           WHERE p.vec_id <> e.vec_id),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored)
 SELECT query_id, neighbor_id, cosine, rk::INT AS rank

@@ -41,6 +41,8 @@ import json
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -77,6 +79,158 @@ class CompileContext:
     registry: Optional[Any] = None  # SchemaRegistry for $ref
     root_schema: Any = None
     ref_depth: int = 0
+    # true while compiling inside a higher-order-function lambda
+    # (transform/forall/map-entry bodies): pandas UDFs cannot reference
+    # lambda variables, so non-vetted patterns there must raise
+    # CompileError and let the engine fall back to the kernel
+    in_lambda: bool = False
+
+
+# ---------------------------------------------------------------------------
+# PCRE → Java-regex vetting (SURVEY §4.2; reference caveat README.md:241-251)
+# ---------------------------------------------------------------------------
+#
+# jesse evaluates `pattern` with Erlang `re` (PCRE). Our engine has two
+# legs: the Catalyst path (`rlike`, Java regex) and the Python kernel
+# (`re`, PCRE-descended). The two regex dialects agree on a large,
+# verifiable subset but diverge on the edges — `\Z` (absolute end in
+# Python, before-final-terminator in Java), possessive quantifiers
+# (Java-only), inline-flag scoping `(?i)` mid-pattern, `[[:alpha:]]`
+# POSIX classes, `[a[b]]` nested-class parsing, `&&` class
+# intersection (Java-only). A schema whose pattern sits outside the
+# vetted subset must NOT be silently evaluated with Java semantics:
+# the classifier below routes it to the Python-`re` kernel (a
+# per-pattern Arrow-batched pandas UDF at column level; whole-plan
+# kernel fallback when the pattern sits inside an array lambda).
+
+#   excluded on purpose: \v (char in Python, whitespace CLASS in Java 8+),
+#   \e (Java-only), \0 / octal (parsing differs), \A \z \Z \G (anchors
+#   with divergent end-of-input semantics), \p \x \u \Q \k (syntax or
+#   property tables differ), digits (backreferences)
+_SAFE_ESCAPES = set("dDwWsSbBnrtfa\\.^$*+?()[]{}|/-, '\"<>=!:;#@%&~`_")
+
+
+def is_vetted_pattern(p: str) -> bool:
+    """True iff ``p`` provably means the same thing to PCRE/Python
+    ``re`` and Java ``Pattern`` (conservative whitelist)."""
+    i, n = 0, len(p)
+    in_class = False
+    while i < n:
+        c = p[i]
+        if c == "\\":
+            if i + 1 >= n:
+                return False
+            nxt = p[i + 1]
+            # \A \z \Z \G \p{...} \x.. \Q..\E \k.. backrefs: divergent
+            # or one-sided; digits = backreferences (keep off rlike)
+            if nxt not in _SAFE_ESCAPES:
+                return False
+            i += 2
+            continue
+        if in_class:
+            if p.startswith("[:", i):
+                return False  # POSIX class — Java has no support
+            if c == "[":
+                return False  # nested class: Java union vs Python literal
+            if p.startswith("&&", i):
+                return False  # Java-only class intersection
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            i += 1
+            if i < n and p[i] == "^":
+                i += 1
+            if i < n and p[i] == "]":
+                i += 1  # leading ] is a literal in both dialects
+            continue
+        if c == "(":
+            if p.startswith("(?:", i):
+                i += 3
+                continue
+            if p.startswith("(?", i):
+                # inline flags, lookaround, named groups, conditionals:
+                # syntax/scoping differs between dialects
+                return False
+            i += 1
+            continue
+        if c in "*+?":
+            if i + 1 < n and p[i + 1] == "+":
+                return False  # possessive quantifier (Java-only)
+            i += 1
+            if i < n and p[i] == "?":
+                i += 1  # lazy quantifier — same semantics both sides
+            continue
+        if c == "{":
+            # only well-formed {m} {m,} {m,n} quantifiers: a bare `{`
+            # is a literal in Python but a syntax error in Java
+            j = i + 1
+            while j < n and p[j].isdigit():
+                j += 1
+            if j == i + 1:
+                return False
+            if j < n and p[j] == ",":
+                j += 1
+                while j < n and p[j].isdigit():
+                    j += 1
+            if j >= n or p[j] != "}":
+                return False
+            i = j + 1
+            if i < n and p[i] == "+":
+                return False  # possessive {m,n}+
+            if i < n and p[i] == "?":
+                i += 1
+            continue
+        i += 1
+    return not in_class
+
+
+_KERNEL_PATTERN_UDFS: dict[str, Any] = {}
+
+
+def _kernel_pattern_col(pattern: str, value: Column) -> Column:
+    """Arrow-batched pandas UDF evaluating ``pattern`` with Python
+    ``re`` (unanchored search — jesse's `re:run` semantics,
+    `jesse_validator_draft3.erl:744-749`). Null in ⇒ null out (the
+    caller's ``_ns`` turns that into a vacuous pass)."""
+    udf = _KERNEL_PATTERN_UDFS.get(pattern)
+    if udf is None:
+        import re as _re
+
+        compiled = _re.compile(pattern)
+
+        @F.pandas_udf("boolean")
+        def _match(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: None if v is None
+                         else bool(compiled.search(v)))
+
+        udf = _match
+        _KERNEL_PATTERN_UDFS[pattern] = udf
+    return udf(value)
+
+
+def _pattern_predicate(pattern: str, value: Column,
+                       ctx: "CompileContext") -> Column:
+    if is_vetted_pattern(pattern):
+        return _ns(value.rlike(pattern))
+    if ctx.in_lambda:
+        raise CompileError(
+            f"pattern {pattern!r} is outside the vetted PCRE/Java-regex "
+            "subset and sits inside an array lambda — kernel fallback "
+            "required")
+    return _ns(_kernel_pattern_col(pattern, value))
+
+
+def _require_vetted_key_pattern(pattern: str) -> None:
+    """Map-key patterns (patternProperties / additionalProperties key
+    filters) are evaluated inside map-entry lambdas where no pandas
+    UDF can run — non-vetted patterns force the kernel path."""
+    if not is_vetted_pattern(pattern):
+        raise CompileError(
+            f"patternProperties key pattern {pattern!r} is outside the "
+            "vetted PCRE/Java-regex subset — kernel fallback required")
 
 
 def _true() -> Column:
@@ -236,7 +390,7 @@ def _keyword_predicate(kw: str, arg: Any, schema: dict, value: Column,
         return _type_predicate(arg, value, dtype, ctx, _depth)
 
     if kw == "enum" and isinstance(arg, list):
-        return _enum_predicate(arg, value, dtype)
+        return _enum_predicate(arg, value, dtype, ctx.draft)
 
     if kw in ("minimum", "maximum") and _is_numeric(dtype):
         exclusive = schema.get("exclusive" + kw.capitalize()) is True
@@ -257,7 +411,7 @@ def _keyword_predicate(kw: str, arg: Any, schema: dict, value: Column,
     if kw == "maxLength" and isinstance(dtype, StringType):
         return _ns(F.length(value) <= F.lit(arg))
     if kw == "pattern" and isinstance(dtype, StringType):
-        return _ns(value.rlike(arg))
+        return _pattern_predicate(arg, value, ctx)
 
     if kw == "minItems" and isinstance(dtype, ArrayType):
         return _ns(F.size(value) >= F.lit(arg))
@@ -339,8 +493,11 @@ def _keyword_predicate(kw: str, arg: Any, schema: dict, value: Column,
 
 def _rebind_predicate(schema: Any, x: Column, elem_type: DataType,
                       ctx: CompileContext, _depth: int) -> Column:
+    from dataclasses import replace as _replace
+    lctx = ctx if ctx.in_lambda else _replace(ctx, in_lambda=True)
     return F.coalesce(
-        compile_predicate(schema, x, elem_type, ctx, _depth + 1), F.lit(True))
+        compile_predicate(schema, x, elem_type, lctx, _depth + 1),
+        F.lit(True))
 
 
 def _tuple_items_predicate(subs: list, schema: dict, value: Column,
@@ -392,7 +549,15 @@ def _present_field_count(value: Column, dtype: StructType) -> Column:
     return F.when(value.isNull(), F.lit(None)).otherwise(n)
 
 
-def _enum_predicate(members: list, value: Column, dtype: DataType) -> Column:
+def _enum_predicate(members: list, value: Column, dtype: DataType,
+                    draft: str = E.DRAFT4) -> Column:
+    """Membership with jesse's equality semantics. Draft3 scalar
+    equality is Erlang ``=:=`` — EXACT type equality, ``1 ≠ 1.0``
+    (`jesse_validator_draft3.erl:785-795`): an integer enum member can
+    only match an integral column, a float member only a fractional
+    column (``isin`` would silently numeric-coerce). Draft4 keeps
+    JSON-spec numeric equality (``1 == 1.0``), so both int and float
+    members apply to any numeric dtype there."""
     scalars = []
     for m in members:
         if isinstance(m, (dict, list)):
@@ -403,8 +568,21 @@ def _enum_predicate(members: list, value: Column, dtype: DataType) -> Column:
         if isinstance(m, bool):
             if isinstance(dtype, BooleanType):
                 scalars.append(m)
-        elif isinstance(m, (int, float)):
-            if _is_numeric(dtype):
+        elif isinstance(m, int):
+            if draft == E.DRAFT3:
+                if _is_integral(dtype):
+                    scalars.append(m)
+            elif _is_numeric(dtype):
+                scalars.append(m)
+        elif isinstance(m, float):
+            if draft == E.DRAFT3:
+                # a fractional dtype holds Erlang floats; an integral
+                # dtype can never =:=-equal a float member
+                if _is_numeric(dtype) and not _is_integral(dtype):
+                    # float members with integral value (2.0) still
+                    # match a double column holding 2.0 — same type
+                    scalars.append(m)
+            elif _is_numeric(dtype):
                 scalars.append(m)
         elif isinstance(m, str):
             if isinstance(dtype, StringType):
@@ -529,6 +707,7 @@ def _map_properties_predicate(kw: str, arg: Any, schema: dict, value: Column,
 
         out = _true()
         for pattern, sub in arg.items():
+            _require_vetted_key_pattern(pattern)
             out = out & F.forall(F.map_entries(value),
                                  entry_check(pattern, sub))
         return value.isNull() | F.coalesce(out, F.lit(False))
@@ -537,6 +716,8 @@ def _map_properties_predicate(kw: str, arg: Any, schema: dict, value: Column,
             return None
         known = list((schema.get("properties") or {}).keys())
         patterns = list((schema.get("patternProperties") or {}).keys())
+        for p in patterns:
+            _require_vetted_key_pattern(p)
 
         def is_extra(e: Column) -> Column:
             k = e.getField("key")
@@ -750,7 +931,8 @@ def _compile_checks(schema: dict, value: Column, dtype: DataType,
             add(kw, E.WRONG_TYPE,
                 _type_predicate(arg, value, dtype, ctx, depth))
         elif kw == "enum" and isinstance(arg, list):
-            add(kw, E.NOT_IN_RANGE, _enum_predicate(arg, value, dtype))
+            add(kw, E.NOT_IN_RANGE,
+                _enum_predicate(arg, value, dtype, ctx.draft))
         elif kw in ("minimum", "maximum") and _is_numeric(dtype):
             add(kw, E.NOT_IN_RANGE,
                 _keyword_predicate(kw, arg, schema, value, dtype, ctx, depth))
@@ -763,7 +945,7 @@ def _compile_checks(schema: dict, value: Column, dtype: DataType,
         elif kw == "maxLength" and isinstance(dtype, StringType):
             add(kw, E.WRONG_LENGTH, _ns(F.length(value) <= F.lit(arg)))
         elif kw == "pattern" and isinstance(dtype, StringType):
-            add(kw, E.NO_MATCH, _ns(value.rlike(arg)))
+            add(kw, E.NO_MATCH, _pattern_predicate(arg, value, ctx))
         elif kw == "minItems" and isinstance(dtype, ArrayType):
             add(kw, E.WRONG_SIZE, _ns(F.size(value) >= F.lit(arg)))
         elif kw == "maxItems" and isinstance(dtype, ArrayType):
@@ -889,7 +1071,9 @@ def _items_violations(item_schema: dict, value: Column, dtype: ArrayType,
     """Per-element violations with dynamic 0-based pointer indices —
     jesse pushes the index per element (`jesse_validator_draft3.erl:488-503`);
     we build it inside a transform lambda, still fully JVM-side."""
+    from dataclasses import replace as _replace
     elem_type = dtype.elementType
+    lctx = ctx if ctx.in_lambda else _replace(ctx, in_lambda=True)
 
     # short-circuit gate (SURVEY.md §4.2): evaluate the allocation-free
     # boolean predicate first and only build violation structs/arrays
@@ -899,7 +1083,7 @@ def _items_violations(item_schema: dict, value: Column, dtype: ArrayType,
     # scale with cores.
     try:
         gate_schema: Optional[dict] = item_schema
-        _ = compile_predicate(item_schema, F.lit(None), elem_type, ctx,
+        _ = compile_predicate(item_schema, F.lit(None), elem_type, lctx,
                               depth + 1)
     except CompileError:
         gate_schema = None
@@ -908,7 +1092,7 @@ def _items_violations(item_schema: dict, value: Column, dtype: ArrayType,
         elem_path = F.concat(path, F.lit("/"),
                              (i + F.lit(index_offset)).cast("string"))
         s, a = _compile_checks(item_schema, x, elem_type, elem_path, sptr,
-                               ctx, depth + 1)
+                               lctx, depth + 1)
         parts: list[Column] = []
         if s:
             parts.append(F.array_compact(F.array(*s)))
@@ -919,7 +1103,7 @@ def _items_violations(item_schema: dict, value: Column, dtype: ArrayType,
         if gate_schema is None:
             return built
         ok = F.coalesce(
-            compile_predicate(gate_schema, x, elem_type, ctx, depth + 1),
+            compile_predicate(gate_schema, x, elem_type, lctx, depth + 1),
             F.lit(True))
         return F.when(ok, _empty_violations()).otherwise(built)
 

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .textops import shingles_col, tokens_col
-from .similarity import cosine_col
+from .similarity import cosine_col, sign_bucket
 
 HEX = "0123456789abcdef"
 
@@ -170,25 +170,95 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
+def simhash_banded(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", *, bits: int = 64,
+                   bands: int = 4) -> DataFrame:
+    """Banded SimHash fingerprints: ``(id, band0..band{bands-1})`` where
+    band ``b`` holds bits ``[b·w, (b+1)·w)`` of a ``bits``-bit Charikar
+    fingerprint (``w = bits/bands``). Same md5-nibble vote construction
+    as ``simhash`` — one explode + one map-side-combined groupBy — but
+    the fingerprint is materialized as per-band integers so 64-bit
+    fingerprints never overflow a signed long and band joins need no
+    bit surgery."""
+    assert bits % bands == 0 and bits <= 128  # md5 has 32 hex nibbles
+    band_bits = bits // bands
+    assert band_bits <= 62
+    toks = F.array_distinct(tokens_col(text_col))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    digest = F.md5(F.col("tok"))
+    votes = [
+        (F.when((F.shiftright(_nibble(digest, j // 4 + 1), j % 4)
+                 .bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1))
+        for j in range(bits)
+    ]
+    agg = (exploded
+           .select(F.col(id_col),
+                   *[v.alias(f"v{j}") for j, v in enumerate(votes)])
+           .groupBy(id_col)
+           .agg(*[F.sum(f"v{j}").alias(f"s{j}") for j in range(bits)]))
+    band_cols = []
+    for b in range(bands):
+        val = F.lit(0).cast("long")
+        for k in range(band_bits):
+            j = b * band_bits + k
+            val = val + F.when(F.col(f"s{j}") > 0,
+                               F.lit(2 ** k)).otherwise(0)
+        band_cols.append(val.alias(f"band{b}"))
+    return agg.select(F.col(id_col), *band_cols)
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", *, bits: int = 16,
-                       max_hamming: int = 2) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance. Blocks on the upper
-    half of the fingerprint (two dups within ``max_hamming`` bits very
-    likely share one half — proper banding would use 4 blocks) so the
-    self-join never goes quadratic."""
-    fps = simhash(df, text_col, id_col, bits=bits)
-    half = bits // 2
-    blocked = fps.withColumn("block", F.shiftright(F.col("simhash"), half))
-    a, b = blocked.alias("a"), blocked.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (a.join(b, on="block")
-             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-             .where(ham <= max_hamming)
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"),
-                     ham.alias("hamming")))
+                       id_col: str = "doc_id", *, bits: int = 64,
+                       max_hamming: int = 3,
+                       bands: int | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance with PIGEONHOLE
+    banding: the fingerprint is split into ``max_hamming + 1`` bands,
+    so any pair within ``max_hamming`` differing bits agrees *exactly*
+    on at least one band — the per-band equijoin has perfect recall,
+    and the join key space is ``bands × 2^(bits/bands)`` (4 × 65,536
+    at the defaults) instead of one table-wide block. Pipeline: band
+    explode → one bucket shuffle → in-bucket pair expansion with array
+    lambdas (carrying both fingerprints, so hamming verification is
+    inline — no join back to the fingerprint table) → distinct.
+
+    At 10^12 docs, grow ``bits`` (e.g. 128/256 via multiple md5
+    streams) so buckets stay small; the pigeonhole guarantee only
+    needs ``bands = max_hamming + 1`` regardless of ``bits``."""
+    if bands is None:
+        bands = max_hamming + 1
+    fps = simhash_banded(df, text_col, id_col, bits=bits, bands=bands)
+    fp = F.struct(*[F.col(f"band{b}") for b in range(bands)])
+    bk = F.array(*[F.struct(F.lit(b).alias("band"),
+                            F.col(f"band{b}").alias("bkey"))
+                   for b in range(bands)])
+    banded = (fps.select(F.col(id_col), fp.alias("fp"),
+                         F.explode(bk).alias("bk"))
+                 .select(F.col(id_col), F.col("fp"),
+                         F.col("bk.band").alias("band"),
+                         F.col("bk.bkey").alias("bkey")))
+    member = F.struct(F.col(id_col).alias("id"), F.col("fp").alias("fp"))
+    buckets = (banded.groupBy("band", "bkey")
+                     .agg(F.sort_array(F.collect_list(member)).alias("ms"))
+                     .where(F.size("ms") > 1))
+    pairs = F.flatten(F.transform(
+        F.col("ms"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ms"), i + 2,
+                    F.greatest(F.size(F.col("ms")) - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    expanded = (buckets.select(F.explode(pairs).alias("p"))
+                       .select(F.col("p.a.id").alias("id_a"),
+                               F.col("p.b.id").alias("id_b"),
+                               F.col("p.a.fp").alias("fa"),
+                               F.col("p.b.fp").alias("fb")))
+    ham = F.lit(0)
+    for b in range(bands):
+        ham = ham + F.bit_count(
+            F.col(f"fa.band{b}").bitwiseXOR(F.col(f"fb.band{b}")))
+    return (expanded
+            .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())
 
 
 # ---------------------------------------------------------------------------
@@ -225,11 +295,25 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
 def embedding_near_duplicates(df: DataFrame, emb_col: str = "embedding",
                               id_col: str = "vec_id", *,
                               threshold: float = 0.9,
-                              block: Column | None = None) -> DataFrame:
-    """Near-dup pairs by embedding cosine ≥ threshold. ``block`` (e.g. a
-    sign-bucket from ``similarity.sign_bucket``) bounds the self-join;
-    without it the join is quadratic and only fit for small partitions
-    of a blocked pipeline."""
+                              block: Column | str | None = "sign",
+                              block_bits: int = 4) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold.
+
+    BLOCKED BY DEFAULT: ``block="sign"`` buckets both sides by the
+    deterministic ``similarity.sign_bucket`` hyperplane sketch and the
+    self-join is an equijoin on the bucket — candidate volume drops
+    ~2^bits and the join shuffles on a key instead of exploding a
+    cross product. Near-duplicate embeddings (cosine ≥ 0.9) almost
+    always share their leading-dimension signs, so recall loss is
+    confined to vectors straddling a hyperplane. Pass a custom
+    ``Column`` for a different blocking scheme, or ``block=None`` for
+    the exact quadratic sweep — acceptable ONLY for small slices
+    (verification sets, tests); at 10^12 rows an unblocked self-join
+    is ~10^24 candidate pairs and must never be the default."""
+    if isinstance(block, str):
+        if block != "sign":
+            raise ValueError(f"unknown block scheme {block!r}")
+        block = sign_bucket(F.col(emb_col), bits=block_bits)
     cols = [F.col(id_col), F.col(emb_col)]
     if block is not None:
         cols.append(block.alias("__block__"))
@@ -237,7 +321,7 @@ def embedding_near_duplicates(df: DataFrame, emb_col: str = "embedding",
     a, b = e.alias("a"), e.alias("b")
     on = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block is not None:
-        on = on & (F.col("a.__block__") == F.col("b.__block__"))
+        on = (F.col("a.__block__") == F.col("b.__block__")) & on
     cos = cosine_col(F.col(f"a.{emb_col}"), F.col(f"b.{emb_col}"))
     return (a.join(b, on)
              .select(F.col(f"a.{id_col}").alias("id_a"),

@@ -152,19 +152,41 @@ class ValidationEngine:
     def validate(self, df: DataFrame, schema_or_key: Union[str, dict], *,
                  doc_id_col: str = "doc_id",
                  draft: Optional[str] = None,
-                 max_violations_per_doc: Optional[int] = None
+                 max_violations_per_doc: Optional[int] = None,
+                 violation_sink=None,
                  ) -> ValidationResult:
         """Typed-column validation via the Catalyst compiler.
 
         ``max_violations_per_doc`` is jesse's ``allowed_errors`` budget
         (`jesse_state.erl:108-111`): the violations array is truncated
         to the first N entries per doc (``valid`` still reflects the
-        untruncated outcome). Works on batch and streaming DataFrames
-        alike — the plan is pure column expressions."""
+        untruncated outcome). ``0`` is jesse's fail-fast default —
+        the array is emptied but ``valid`` still marks the row. Works
+        on batch and streaming DataFrames alike — the plan is pure
+        column expressions.
+
+        ``violation_sink`` is the DataFrame-scale re-expression of
+        jesse's pluggable error handler (`jesse.erl:140`,
+        `jesse_state.erl:103-107`): a callable invoked with the
+        exploded violations DataFrame, e.g. ``lambda v:
+        v.write.parquet(...)``. At 10^12 rows a per-error callback
+        cannot exist (errors live on executors); the sink receives the
+        violations *relation* instead.
+
+        Schemas outside the vetted Catalyst subset (e.g. a ``pattern``
+        whose PCRE/Java-regex semantics diverge inside an array
+        lambda) transparently fall back to the Arrow-batched Python
+        kernel over ``to_json`` — same outputs, slower path."""
         schema = self._resolve(schema_or_key)
         draft = draft or self._draft_of(schema)
-        plan = compile_plan(schema, df.schema, draft=draft,
-                            registry=self.registry)
+        try:
+            plan = compile_plan(schema, df.schema, draft=draft,
+                                registry=self.registry)
+        except CompileError:
+            return self._validate_via_kernel(
+                df, schema, doc_id_col=doc_id_col, draft=draft,
+                max_violations_per_doc=max_violations_per_doc,
+                violation_sink=violation_sink)
         annotated = (
             df.withColumn("violations", plan.violations_column())
               .withColumn("valid", F.size("violations") == 0)
@@ -173,23 +195,60 @@ class ValidationEngine:
             annotated = annotated.withColumn(
                 "violations",
                 F.slice(F.col("violations"), 1, max_violations_per_doc))
-        return ValidationResult(annotated=annotated, doc_id_col=doc_id_col)
+        res = ValidationResult(annotated=annotated, doc_id_col=doc_id_col)
+        if violation_sink is not None:
+            violation_sink(res.violations)
+        return res
 
     # alias for jesse.erl:154-178 parity
     validate_with_schema = validate
+
+    def _validate_via_kernel(self, df: DataFrame, schema: dict, *,
+                             doc_id_col: str, draft: str,
+                             max_violations_per_doc: Optional[int] = None,
+                             violation_sink=None) -> ValidationResult:
+        """Typed rows → JSON → Python-kernel pandas UDF. ``to_json``
+        omits null fields, matching the typed-column convention that
+        SQL NULL means *absent*."""
+        helper = "__doc_json__"
+        jdf = df.withColumn(
+            helper, F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+        n = max_violations_per_doc
+        # keep >=1 violation in the kernel so `valid` stays correct,
+        # then apply the budget slice (0 ⇒ empty array, valid intact)
+        res = self.validate_json(jdf, helper, schema,
+                                 doc_id_col=doc_id_col, draft=draft,
+                                 max_errors=None if n is None
+                                 else max(1, n))
+        annotated = res.annotated.drop(helper)
+        if n is not None:
+            annotated = annotated.withColumn(
+                "violations", F.slice(F.col("violations"), 1, n))
+        res = ValidationResult(annotated=annotated, doc_id_col=doc_id_col)
+        if violation_sink is not None:
+            violation_sink(res.violations)
+        return res
 
     def validate_json(self, df: DataFrame, json_col: str,
                       schema_or_key: Union[str, dict], *,
                       doc_id_col: str = "doc_id",
                       draft: Optional[str] = None,
-                      max_errors: Optional[int] = None) -> ValidationResult:
+                      max_errors: Optional[int] = None,
+                      parser=None) -> ValidationResult:
         """Dynamic-JSON validation: Arrow-batched pandas UDF running the
         pure-Python kernel. Schema + registry snapshot travel in the UDF
-        closure — one driver→executor crossing, no callbacks (SURVEY §3.4)."""
+        closure — one driver→executor crossing, no callbacks (SURVEY §3.4).
+
+        ``parser`` is jesse's ``parser_fun`` (`jesse.erl:63,183-192`):
+        a callable ``str -> parsed value``; any exception it raises is
+        mapped to a ``parse_error`` violation for that row, exactly as
+        jesse maps ``{parse_error, E}``. Default: ``json.loads``. The
+        callable must be picklable (it ships in the UDF closure)."""
         schema = self._resolve(schema_or_key)
         draft = draft or self._draft_of(schema)
         registry_snapshot = {k: self.registry.read(k)
                              for k in self.registry.keys()}
+        parse = parser if parser is not None else json.loads
 
         @F.pandas_udf(VIOLATIONS_ARRAY_TYPE)
         def _validate_batch(docs: pd.Series) -> pd.Series:
@@ -205,8 +264,9 @@ class ValidationEngine:
                                  "null", "")])
                     continue
                 try:
-                    value = json.loads(raw)
-                except (ValueError, TypeError) as exc:
+                    value = parse(raw)
+                except Exception as exc:  # parser_fun contract: any
+                    # failure becomes {parse_error, E} (jesse.erl:188-192)
                     out.append([(E.DATA_INVALID, "parse_error", "", "",
                                  E.json_dumps(str(raw)[:200]),
                                  str(exc)[:200])])
@@ -231,6 +291,11 @@ class ValidationEngine:
         return schema_or_key
 
     def _draft_of(self, schema: dict) -> str:
+        """Resolve the draft from ``$schema`` — unknown URIs raise
+        ``SchemaUnsupported`` (jesse refuses rather than validating
+        with the wrong semantics, `jesse_schema_validator.erl:86-87`)."""
         from .pyvalidator import draft_of
         d = draft_of(schema, self.default_draft)
-        return d if not d.startswith("unsupported:") else self.default_draft
+        if d.startswith("unsupported:"):
+            raise E.SchemaUnsupported(d[len("unsupported:"):])
+        return d

@@ -127,3 +127,16 @@ class ValidationOutcome:
 class SchemaNotFound(KeyError):
     """Registry miss — parity with jesse's {database_error, Key,
     schema_not_found} (/root/reference/src/jesse_database.erl:96-102)."""
+
+
+class SchemaUnsupported(ValueError):
+    """Unknown ``$schema`` URI — parity with jesse's
+    ``{schema_unsupported, Schema}`` error: the reference REFUSES to
+    validate under semantics it does not implement
+    (/root/reference/src/jesse_schema_validator.erl:86-87, asserted at
+    test/jesse_schema_validator_tests.erl:180-191) rather than silently
+    falling back to the default draft."""
+
+    def __init__(self, uri: str) -> None:
+        super().__init__(f"schema_unsupported: {uri}")
+        self.uri = uri

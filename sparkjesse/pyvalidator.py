@@ -91,13 +91,39 @@ def draft_of(schema: Any, default: str) -> str:
     return default
 
 
+class ViolationsAborted(Exception):
+    """Raised by an error handler to stop validation immediately —
+    the Python rendering of jesse's handler ``throw``
+    (`jesse_error.erl:75-79`). Carries the final violation list."""
+
+    def __init__(self, violations: list) -> None:
+        super().__init__(f"{len(violations)} violation(s)")
+        self.violations = violations
+
+
+def jesse_error_handler(violation: Violation, violations: list,
+                        allowed_errors) -> list:
+    """jesse's default error handler, verbatim semantics
+    (`jesse_error.erl:75-79` / `default_error_handler`): accumulate
+    while ``allowed_errors`` exceeds the list length, else throw with
+    the offending error appended. ``allowed_errors=0`` (jesse's
+    default, `jesse_state.erl:108-111`) is therefore fail-fast: the
+    FIRST violation aborts and is reported."""
+    if allowed_errors == "infinity" or \
+            (isinstance(allowed_errors, int)
+             and allowed_errors > len(violations)):
+        return violations + [violation]
+    raise ViolationsAborted(violations + [violation])
+
+
 class _Ctx:
     """Mutable validation context: error list + root-to-leaf paths."""
 
     __slots__ = ("violations", "path", "schema_path", "registry",
-                 "root_schema", "ref_depth", "max_errors")
+                 "root_schema", "ref_depth", "max_errors", "error_handler")
 
-    def __init__(self, root_schema: Any, registry=None, max_errors=None):
+    def __init__(self, root_schema: Any, registry=None, max_errors=None,
+                 error_handler=None):
         self.violations: list[Violation] = []
         self.path: list[Any] = []
         self.schema_path: list[Any] = []
@@ -105,9 +131,19 @@ class _Ctx:
         self.root_schema = root_schema
         self.ref_depth = 0
         self.max_errors = max_errors
+        self.error_handler = error_handler
+
+    def _emit(self, v: Violation) -> None:
+        if self.error_handler is not None:
+            # handler contract (jesse.erl:140, jesse_error.erl:75-79):
+            # (Error, ErrorList, AllowedErrors) -> new ErrorList | throw
+            self.violations = self.error_handler(
+                v, self.violations, self.max_errors)
+        else:
+            self.violations.append(v)
 
     def data_invalid(self, error_type: str, value: Any, detail: str = "") -> None:
-        self.violations.append(Violation(
+        self._emit(Violation(
             error_kind=E.DATA_INVALID,
             error_type=error_type,
             path=E.to_pointer(self.path),
@@ -117,7 +153,7 @@ class _Ctx:
         ))
 
     def schema_invalid(self, error_type: str, detail: str = "") -> None:
-        self.violations.append(Violation(
+        self._emit(Violation(
             error_kind=E.SCHEMA_INVALID,
             error_type=error_type,
             path=E.to_pointer(self.path),
@@ -129,12 +165,25 @@ class _Ctx:
 
 def validate_value(schema: Any, value: Any, *, registry=None,
                    default_draft: str = E.DRAFT3,
-                   max_errors: Optional[int] = None) -> list[Violation]:
+                   max_errors: Optional[int] = None,
+                   error_handler=None) -> list[Violation]:
     """Validate one parsed JSON value; return the violation list
-    (empty ⇒ valid). Equivalent of ``jesse:validate_with_schema/3``."""
-    ctx = _Ctx(schema, registry=registry, max_errors=max_errors)
-    _validate(ctx, schema, value, default_draft)
-    if max_errors is not None:
+    (empty ⇒ valid). Equivalent of ``jesse:validate_with_schema/3``.
+
+    ``error_handler`` is jesse's pluggable handler option
+    (`jesse.erl:140`, `jesse_state.erl:103-107`): called as
+    ``handler(violation, violations_so_far, max_errors)`` for every
+    violation; returns the new accumulated list, or raises
+    ``ViolationsAborted`` to stop validation (fail-fast). Pass
+    ``jesse_error_handler`` with ``max_errors=0`` for jesse's default
+    fail-fast behavior."""
+    ctx = _Ctx(schema, registry=registry, max_errors=max_errors,
+               error_handler=error_handler)
+    try:
+        _validate(ctx, schema, value, default_draft)
+    except ViolationsAborted as stop:
+        return stop.violations
+    if max_errors is not None and error_handler is None:
         return ctx.violations[:max_errors]
     return ctx.violations
 

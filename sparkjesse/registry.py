@@ -52,10 +52,16 @@ class SchemaRegistry:
 
     def load_dir(self, path: str,
                  make_key: Optional[Callable[[Any, str], str]] = None,
+                 validate_fn: Optional[Callable[[Any], bool]] = None,
                  ) -> list[tuple[str, str]]:
         """Load every ``*.json`` under ``path``; key by the schema's ``id``
         (or ``make_key(schema, filename)``). Files whose mtime is unchanged
-        since the last load are skipped. Returns [(file, error)] failures."""
+        since the last load are skipped. Returns [(file, error)] failures.
+
+        ``validate_fn`` is jesse's ``load_schemas`` ValidationFun
+        (`jesse.erl:86-115`): called with each parsed schema; a falsy
+        return (or an exception) records the file as failed instead of
+        registering it."""
         failures: list[tuple[str, str]] = []
         for name in sorted(os.listdir(path)):
             if not name.endswith(".json"):
@@ -67,6 +73,8 @@ class SchemaRegistry:
             try:
                 with open(full, encoding="utf-8") as fh:
                     schema = json.load(fh)
+                if validate_fn is not None and not validate_fn(schema):
+                    raise ValueError("validation_fun rejected schema")
                 if make_key is not None:
                     key = make_key(schema, name)
                 else:

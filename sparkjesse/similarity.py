@@ -79,15 +79,35 @@ def sign_bucket(emb: Column, *, bits: int = 4) -> Column:
 
 def ann_topk_bucketed(queries: DataFrame, corpus: DataFrame, *,
                       id_col: str = "vec_id", emb_col: str = "embedding",
-                      k: int = 3, bits: int = 4) -> DataFrame:
+                      k: int = 3, bits: int = 4,
+                      multiprobe: int = 1) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign
-    bucket. Recall is traded for a 2^bits candidate reduction; verify
-    against ``brute_force_topk`` on samples."""
-    q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"),
+    bucket, MULTI-PROBED. ``multiprobe=1`` (default) probes the
+    query's own bucket plus every Hamming-1 neighbor bucket
+    (``bits + 1`` probes) — a near-neighbor that straddles one
+    hyperplane still lands in a probed bucket, so ``bits`` can grow
+    (finer candidate pruning, ~2^bits reduction) without the recall
+    collapse a single-probe sketch suffers. Probed buckets are
+    disjoint, so no candidate dedup is needed; the corpus is bucketed
+    ONCE (at scale: persist the bucket as the table's partition/
+    cluster key) and only the tiny query side is expanded
+    ``bits + 1``-fold before the broadcast. ``multiprobe=0`` is the
+    legacy single-bucket probe. Verify recall against
+    ``brute_force_topk`` on samples (see tests)."""
+    qb = sign_bucket(F.col(emb_col), bits=bits)
+    q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(emb_col).alias("__qe__"),
-                       sign_bucket(F.col(emb_col), bits=bits)
-                       .alias("bucket")))
+                       qb.alias("__home__"))
+    if multiprobe >= 1:
+        probes = F.array(
+            F.col("__home__"),
+            *[F.col("__home__").bitwiseXOR(F.lit(1 << i))
+              for i in range(bits)])
+        q = q.select("query_id", "__qe__",
+                     F.explode(probes).alias("bucket"))
+    else:
+        q = q.withColumnRenamed("__home__", "bucket")
+    q = F.broadcast(q)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(emb_col).alias("__ce__"),
                       sign_bucket(F.col(emb_col), bits=bits).alias("bucket"))

@@ -67,11 +67,29 @@ def test_simhash_hamming_close_for_near_dups(near_dup_docs):
     assert far >= ham
 
 
-def test_simhash_near_pairs(near_dup_docs):
-    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
-             for r in dedup.simhash_near_pairs(
-                 near_dup_docs, bits=16, max_hamming=4).collect()}
-    assert pairs.get((1, 11)) == 0
+@pytest.mark.parametrize("max_h", [3, 7])
+def test_simhash_near_pairs_banded_perfect_recall(near_dup_docs, max_h):
+    """Pigeonhole banding: EVERY pair within max_hamming must be found
+    (any such pair agrees exactly on >=1 of max_hamming+1 bands) —
+    compare against exhaustive pairwise hamming over the same banded
+    fingerprints."""
+    bands = max_h + 1
+    fps = {r["doc_id"]: tuple(r[f"band{b}"] for b in range(bands))
+           for r in dedup.simhash_banded(near_dup_docs, bits=64,
+                                         bands=bands).collect()}
+    ids = sorted(fps)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = sum(bin(x ^ y).count("1")
+                      for x, y in zip(fps[a], fps[b]))
+            if ham <= max_h:
+                expected[(a, b)] = ham
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.simhash_near_pairs(
+               near_dup_docs, bits=64, max_hamming=max_h).collect()}
+    assert got == expected  # perfect recall AND exact hammings
+    assert got.get((1, 11)) == 0  # identical text always surfaces
 
 
 def test_brute_force_topk_self_similarity(spark):
@@ -96,14 +114,87 @@ def test_ann_bucketed_matches_brute_force_for_same_bucket(spark):
         sorted(map(tuple, ann.collect()))
 
 
-def test_embedding_near_duplicates(spark):
+def test_ann_multiprobe_recall_vs_brute_force(spark):
+    """bits=8 single-probe collapses recall (256 buckets, one probed);
+    Hamming-1 multi-probe must recover most of the exact top-k."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8)
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.brute_force_topk(queries, emb,
+                                                  k=5).collect()}
+
+    def recall(multiprobe: int) -> float:
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in similarity.ann_topk_bucketed(
+                   queries, emb, k=5, bits=8,
+                   multiprobe=multiprobe).collect()}
+        return len(got & truth) / len(truth)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0  # probing more (disjoint) buckets can only help
+    # the sf embeddings are near-uniform (worst case for any LSH):
+    # multi-probe must still beat the 9-of-256-buckets chance level ~4x
+    assert r1 >= 4 * (9 / 256), (r0, r1)
+
+
+def test_ann_multiprobe_rescues_hyperplane_straddlers(spark):
+    """The failure mode multi-probe exists for: a query whose true
+    nearest neighbor sits across ONE hyperplane (a near-zero leading
+    dimension flips sign). Single-probe misses it; Hamming-1 probing
+    finds it every time."""
+    dims = 12
+    corpus, queries = [], []
+    for i in range(16):
+        base = [1.0 if (i >> (d % 4)) & 1 else -1.0 for d in range(dims)]
+        flip = i % 8
+        base[flip] = 0.001            # sits on hyperplane `flip`
+        q = list(base)
+        q[flip] = -0.001              # nudged to the other side
+        corpus.append((100 + i, base))
+        queries.append((i, q))
+    emb = spark.createDataFrame(corpus + queries,
+                                ["vec_id", "embedding"])
+    qdf = emb.where(F.col("vec_id") < 100)
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.brute_force_topk(qdf, emb, k=1).collect()}
+    assert truth == {(i, 100 + i) for i in range(16)}  # cosine ~1 partner
+
+    def hits(multiprobe: int) -> int:
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in similarity.ann_topk_bucketed(
+                   qdf, emb, k=1, bits=8, multiprobe=multiprobe).collect()}
+        return len(got & truth)
+
+    assert hits(0) == 0    # every partner is across one hyperplane
+    assert hits(1) == 16   # multi-probe recovers all of them
+
+
+def test_embedding_near_duplicates_exact_sweep(spark):
     rows = [(0, [1.0, 0.0, 0.0]), (1, [0.99, 0.01, 0.0]),
             (2, [0.0, 1.0, 0.0])]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # block=None: the exact quadratic sweep, for small slices only
     pairs = {(r["id_a"], r["id_b"])
              for r in dedup.embedding_near_duplicates(
-                 df, threshold=0.99).collect()}
+                 df, threshold=0.99, block=None).collect()}
     assert pairs == {(0, 1)}
+
+
+def test_embedding_near_duplicates_blocked_default(spark):
+    """Default = sign-bucket blocking: near-dups share their leading
+    signs and are found; cross-bucket candidates are never scored."""
+    rows = [(0, [1.0, 1.0, 1.0, 1.0]), (1, [0.99, 1.0, 1.0, 1.02]),
+            (2, [-1.0, 1.0, 1.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.embedding_near_duplicates(
+                 df, threshold=0.9).collect()}
+    assert pairs == {(0, 1)}
+    # the blocked plan is an equijoin on the bucket, not a cross join
+    plan = dedup.embedding_near_duplicates(df, threshold=0.9) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_token_stats_and_quality(spark):
