@@ -29,10 +29,10 @@ from sparkjesse.partitioning import detect_hot_keys  # noqa: E402
 # representative subset of the driver-checked queries (full set runs in
 # the correctness gate; the bench picks the heavy/interesting ones)
 BENCH_QUERIES = [
-    "v_summary", "v_violations", "kw_uniqueitems", "ds_stats",
-    "ds_duplicates", "ds_histogram", "ds_drift", "txt_quality",
-    "txt_langid", "dd_exact", "dd_minhash", "dd_simhash", "sim_topk",
-    "kvc_agg",
+    "v_summary", "v_violations", "v_span_violations", "kw_uniqueitems",
+    "ds_stats", "ds_duplicates", "ds_histogram", "ds_drift",
+    "txt_quality", "txt_langid", "dd_exact", "dd_minhash", "dd_simhash",
+    "dd_simhash_pairs", "sim_topk", "sim_ann", "kvc_agg",
 ]
 
 # flagship interleaved-doc count per sf unit (sf0.1 → 100k docs)
@@ -90,7 +90,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
-        "metric": "sparkjesse bench: 14 driver queries + interleaved "
+        "metric": "sparkjesse bench: 17 driver queries + interleaved "
                   "draft4 validation",
         "value": total,
         "unit": "sec",

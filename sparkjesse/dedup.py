@@ -175,36 +175,50 @@ def simhash_banded(df: DataFrame, text_col: str = "text",
                    bands: int = 4) -> DataFrame:
     """Banded SimHash fingerprints: ``(id, band0..band{bands-1})`` where
     band ``b`` holds bits ``[b·w, (b+1)·w)`` of a ``bits``-bit Charikar
-    fingerprint (``w = bits/bands``). Same md5-nibble vote construction
-    as ``simhash`` — one explode + one map-side-combined groupBy — but
-    the fingerprint is materialized as per-band integers so 64-bit
-    fingerprints never overflow a signed long and band joins need no
-    bit surgery."""
-    assert bits % bands == 0 and bits <= 128  # md5 has 32 hex nibbles
+    fingerprint (``w = bits/bands``). Same md5-nibble vote math as
+    ``simhash``, but computed as a ZERO-SHUFFLE per-row fold (like the
+    minhash signatures): one ``aggregate`` over the distinct-token
+    array updates all ``bits`` vote counters at once, and a 16-entry
+    literal lookup table turns each hex nibble into its 4 ±1 votes —
+    one nibble extraction per 4 bits instead of four. No explode, no
+    groupBy: the operator stays map-side however big the table, and
+    per-band integers never overflow a signed long."""
+    assert bits % bands == 0 and bits % 4 == 0
+    assert bits <= 128  # md5 has 32 hex nibbles
     band_bits = bits // bands
     assert band_bits <= 62
+    positions = bits // 4
+    # vote_lut[n] = the 4 ±1 votes encoded by nibble value n (bit k of
+    # n votes +1); indexed 1-based by instr's return (instr(HEX, c) =
+    # nibble value + 1, so no off-by-one arithmetic in the hot path)
+    vote_lut = F.array(*[
+        F.array(*[F.lit(1 if (n >> k) & 1 else -1) for k in range(4)])
+        for n in range(16)])
+
+    def token_votes(tok: Column) -> Column:
+        digest = F.md5(tok)
+        return F.flatten(F.transform(
+            F.sequence(F.lit(1), F.lit(positions)),
+            lambda p: F.element_at(
+                vote_lut,
+                F.instr(F.lit(HEX), F.substring(digest, p, F.lit(1)))
+                .cast("int"))))
+
     toks = F.array_distinct(tokens_col(text_col))
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("tok"))
-    digest = F.md5(F.col("tok"))
-    votes = [
-        (F.when((F.shiftright(_nibble(digest, j // 4 + 1), j % 4)
-                 .bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1))
-        for j in range(bits)
-    ]
-    agg = (exploded
-           .select(F.col(id_col),
-                   *[v.alias(f"v{j}") for j, v in enumerate(votes)])
-           .groupBy(id_col)
-           .agg(*[F.sum(f"v{j}").alias(f"s{j}") for j in range(bits)]))
+    sums = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(acc, token_votes(t),
+                                  lambda a, v: a + v))
     band_cols = []
     for b in range(bands):
         val = F.lit(0).cast("long")
         for k in range(band_bits):
             j = b * band_bits + k
-            val = val + F.when(F.col(f"s{j}") > 0,
+            val = val + F.when(F.element_at(sums, j + 1) > 0,
                                F.lit(2 ** k)).otherwise(0)
         band_cols.append(val.alias(f"band{b}"))
-    return agg.select(F.col(id_col), *band_cols)
+    return df.select(F.col(id_col), *band_cols)
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
@@ -236,29 +250,40 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                  .select(F.col(id_col), F.col("fp"),
                          F.col("bk.band").alias("band"),
                          F.col("bk.bkey").alias("bkey")))
-    member = F.struct(F.col(id_col).alias("id"), F.col("fp").alias("fp"))
-    buckets = (banded.groupBy("band", "bkey")
-                     .agg(F.sort_array(F.collect_list(member)).alias("ms"))
-                     .where(F.size("ms") > 1))
-    pairs = F.flatten(F.transform(
-        F.col("ms"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ms"), i + 2,
-                    F.greatest(F.size(F.col("ms")) - i - 1, F.lit(0))),
-            lambda y: F.struct(x.alias("a"), y.alias("b")))))
-    expanded = (buckets.select(F.explode(pairs).alias("p"))
-                       .select(F.col("p.a.id").alias("id_a"),
-                               F.col("p.b.id").alias("id_b"),
-                               F.col("p.a.fp").alias("fa"),
-                               F.col("p.b.fp").alias("fb")))
+    # one explicit bucket-keyed exchange: both join sides canonicalize
+    # to the SAME exchange, so ReuseExchange computes the fingerprint
+    # fold ONCE and the equijoin reads co-located partitions — without
+    # this, each self-join side would rescan the table and refold
+    banded = banded.repartition(F.col("band"), F.col("bkey"))
+    # pair stage: a STREAMING equijoin on (band, bkey). Near-dup
+    # corpora have mega-clusters (one bucket holding hundreds of
+    # copies); a collect_list + in-row pair expansion would build the
+    # whole quadratic pair set of a cluster inside ONE row, while the
+    # join streams pairs through the operator pipeline and AQE can
+    # skew-split a hot bucket across tasks. (Contrast
+    # ``lsh_candidate_pairs``: minhash band keys are md5 over the
+    # signature, buckets stay small, in-row expansion wins there.)
+    a, b = banded.alias("a"), banded.alias("b")
+    cond = (F.col("a.band") == F.col("b.band")) \
+        & (F.col("a.bkey") == F.col("b.bkey")) \
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    # first-match-band dedup: a pair agreeing on k bands would surface
+    # k times; emitting it only from its LOWEST matching band makes
+    # every pair unique by construction — no global distinct, so the
+    # quadratic pair stream never crosses another shuffle
+    for b2 in range(bands - 1):
+        cond = cond & ~((F.lit(b2) < F.col("a.band"))
+                        & (F.col(f"a.fp.band{b2}")
+                           == F.col(f"b.fp.band{b2}")))
     ham = F.lit(0)
-    for b in range(bands):
+    for k in range(bands):
         ham = ham + F.bit_count(
-            F.col(f"fa.band{b}").bitwiseXOR(F.col(f"fb.band{b}")))
-    return (expanded
-            .select("id_a", "id_b", ham.cast("int").alias("hamming"))
-            .where(F.col("hamming") <= max_hamming)
-            .distinct())
+            F.col(f"a.fp.band{k}").bitwiseXOR(F.col(f"b.fp.band{k}")))
+    return (a.join(b, cond)
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     ham.cast("int").alias("hamming"))
+             .where(F.col("hamming") <= max_hamming))
 
 
 # ---------------------------------------------------------------------------
