@@ -386,6 +386,14 @@ def _sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- KVC path / aggregate mini-language (SURVEY.md §2.3) --------------------
 
+def _sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: deterministic 8-centroid coarse quantizer, corpus
+    assigned to nearest cell, queries probe their 2 nearest cells."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
+    return similarity.ivf_topk(queries, emb, k=3, n_centroids=8, nprobe=2)
+
+
 def _kvc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """jesse_json_path parity: dot-path lookup (`path/2` →
     get_json_object) + @count/@sum/@avg/@max/@min aggregates."""
@@ -436,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_embed": _dd_embed,
         "sim_topk": _sim_topk,
         "sim_ann": _sim_ann,
+        "sim_ivf": _sim_ivf,
         "kvc_agg": _kvc_agg,
     }
 
@@ -839,6 +848,28 @@ scored AS (SELECT p.vec_id AS query_id, e.vec_id AS neighbor_id,
              {_cosine_sql('p.embedding', 'e.embedding')} AS cosine
            FROM probes p JOIN b e ON p.bucket = e.bucket
            WHERE p.vec_id <> e.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored)
+SELECT query_id, neighbor_id, cosine, rk::INT AS rank
+FROM r WHERE rk <= 3
+""",
+        "sim_ivf": f"""
+WITH c AS (SELECT vec_id AS cent_id, embedding AS cemb
+           FROM embeddings ORDER BY vec_id LIMIT 8),
+asgn AS (SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({_cosine_sql('e.embedding', 'c.cemb')}, 6)
+                        DESC,
+                      c.cent_id ASC) AS r
+         FROM embeddings e CROSS JOIN c),
+idx AS (SELECT vec_id AS neighbor_id, embedding AS nemb, cent_id
+        FROM asgn WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, embedding AS qemb, cent_id
+           FROM asgn WHERE r <= 2 AND vec_id >= 100 AND vec_id < 108),
+scored AS (SELECT p.query_id, i.neighbor_id,
+             {_cosine_sql('p.qemb', 'i.nemb')} AS cosine
+           FROM probes p JOIN idx i ON p.cent_id = i.cent_id
+           WHERE p.query_id <> i.neighbor_id),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored)
 SELECT query_id, neighbor_id, cosine, rk::INT AS rank

@@ -35,8 +35,11 @@ BENCH_QUERIES = [
     "dd_simhash_pairs", "sim_topk", "sim_ann", "kvc_agg",
 ]
 
-# flagship interleaved-doc count per sf unit (sf0.1 → 100k docs)
-FLAGSHIP_DOCS_PER_SF = 1_000_000
+# flagship interleaved-doc count per sf unit (sf0.1 → 1M docs): sized
+# so the timed region is compute-bound — at 100k docs the wall was
+# dominated by fixed job overhead and under-reported docs/sec ~20x
+# vs the same plan at 32M docs (see BENCH_SCALING.json)
+FLAGSHIP_DOCS_PER_SF = 10_000_000
 
 
 def _consume(df) -> int:

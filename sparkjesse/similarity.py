@@ -77,6 +77,64 @@ def sign_bucket(emb: Column, *, bits: int = 4) -> Column:
     return out.cast("int")
 
 
+def ivf_topk(queries: DataFrame, corpus: DataFrame, *,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             k: int = 3, n_centroids: int = 8,
+             nprobe: int = 2) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the scale path for
+    embedding search at 10^12 rows.
+
+    * **Coarse quantizer**: ``n_centroids`` centroids chosen
+      deterministically (the first ``n_centroids`` corpus vectors by
+      id — a data-derived codebook with no RNG, so the DuckDB oracle
+      reproduces the index bit-for-bit; swap in k-means centroids on a
+      real deployment, the plan shape is identical).
+    * **Index**: every corpus vector is assigned to its nearest
+      centroid by the deterministic fold cosine — one broadcast join
+      of the tiny codebook, one map-side argmax; at scale the
+      assignment is persisted as the table's partition/cluster key so
+      each probe is a partition-pruned scan.
+    * **Search**: each query probes its ``nprobe`` nearest centroid
+      cells (multi-probe recall guard) and scores only those cells'
+      members — candidate volume ~``nprobe/n_centroids`` of the
+      corpus.
+
+    Ties on assignment break toward the lower centroid id (stable in
+    both engines)."""
+    cents = F.broadcast(
+        corpus.orderBy(F.col(id_col)).limit(n_centroids)
+              .select(F.col(id_col).alias("cent_id"),
+                      F.col(emb_col).alias("__cent__")))
+
+    def assign(df: DataFrame, id_alias: str, emb_alias: str,
+               n_cells: int) -> DataFrame:
+        scored = (df.select(F.col(id_col).alias(id_alias),
+                            F.col(emb_col).alias(emb_alias))
+                  .join(cents)
+                  .select(id_alias, emb_alias, "cent_id",
+                          F.round(cosine_col(F.col(emb_alias),
+                                             F.col("__cent__")), 6)
+                          .alias("__sim__")))
+        w = Window.partitionBy(id_alias).orderBy(
+            F.desc("__sim__"), F.asc("cent_id"))
+        return (scored.withColumn("__r__", F.row_number().over(w))
+                      .where(F.col("__r__") <= n_cells)
+                      .drop("__sim__", "__r__"))
+
+    indexed = assign(corpus, "neighbor_id", "__ce__", 1)
+    probes = F.broadcast(assign(queries, "query_id", "__qe__", nprobe))
+    scored = (indexed.join(probes, on="cent_id")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(cosine_col(F.col("__qe__"), F.col("__ce__")),
+                              6).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
 def ann_topk_bucketed(queries: DataFrame, corpus: DataFrame, *,
                       id_col: str = "vec_id", emb_col: str = "embedding",
                       k: int = 3, bits: int = 4,

@@ -51,6 +51,60 @@ def windowed_summary(annotated: DataFrame, *, time_col: str,
                  F.sum((~F.col("valid")).cast("long")).alias("fail")))
 
 
+def stateful_key_budget(annotated: DataFrame, *, key_col: str,
+                        budget: int = 10,
+                        idle_timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (Arrow-batched — never per-row Python): a cumulative per-key
+    invalid-doc counter that flags the key once its failures exceed
+    ``budget``. The streaming analogue of jesse's ``allowed_errors``
+    budget, lifted from per-document to per-key (e.g. quarantine a
+    crawler source whose documents keep failing validation).
+
+    Emits one row per (micro-batch, key): ``(key, batch_docs,
+    batch_fail, total_fail, quarantined)``. State is one long per key;
+    with ``idle_timeout_ms > 0`` idle keys time out (processing-time),
+    emit a final tombstone row (batch_docs = 0) and drop their state —
+    bounded memory on unbounded key spaces."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = ("key string, batch_docs long, batch_fail long, "
+                  "total_fail long, quarantined boolean")
+    state_schema = "total_fail long"
+
+    def update(key, pdfs, state: GroupState):
+        (k,) = key
+        if state.hasTimedOut:
+            (total,) = state.get
+            state.remove()
+            yield pd.DataFrame([{"key": k, "batch_docs": 0,
+                                 "batch_fail": 0, "total_fail": total,
+                                 "quarantined": total > budget}])
+            return
+        total = state.get[0] if state.exists else 0
+        docs = fail = 0
+        for pdf in pdfs:
+            docs += len(pdf)
+            fail += int((~pdf["valid"]).sum())
+        total += fail
+        state.update((total,))
+        if idle_timeout_ms > 0:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame([{"key": k, "batch_docs": docs,
+                             "batch_fail": fail, "total_fail": total,
+                             "quarantined": total > budget}])
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if idle_timeout_ms > 0 else GroupStateTimeout.NoTimeout)
+    return (annotated
+            .select(F.col(key_col).alias("key"), F.col("valid"))
+            .groupBy("key")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "append", timeout))
+
+
 def violations_sink(annotated: DataFrame, *,
                     doc_id_col: str = "doc_id") -> DataFrame:
     """Exploded violation rows for ``writeStream`` (append-safe: a

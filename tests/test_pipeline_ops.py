@@ -224,3 +224,38 @@ def test_fingerprints_stable(spark):
     assert fp["content_md5"] == hashlib.md5(b"a b c d e").hexdigest()
     assert fp["prefix_md5"] == hashlib.md5(b"a b c").hexdigest()
     assert fp["n_shingles"] == 3
+
+
+def test_ivf_topk_probes_and_recall(spark):
+    """IVF: corpus assigned to its nearest deterministic centroid,
+    queries probe 2 cells. On clustered data (each query near one
+    centroid direction) IVF recovers the exact top-k."""
+    dims = 8
+    # 4 well-separated centroid directions
+    base = {0: [1.0] + [0.0] * 7, 1: [0.0, 1.0] + [0.0] * 6,
+            2: [0.0, 0.0, 1.0] + [0.0] * 5,
+            3: [0.0] * 3 + [1.0] + [0.0] * 4}
+    rows = [(i, base[i]) for i in range(4)]  # centroids themselves
+    # members: perturbed copies of each direction
+    for i in range(4, 24):
+        d = i % 4
+        v = list(base[d])
+        v[(d + 4) % dims] = 0.05 + 0.01 * (i % 5)
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.where(F.col("vec_id").isin([20, 21, 22, 23]))
+    bf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+          for r in similarity.brute_force_topk(queries, emb,
+                                               k=3).collect()}
+    ivf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in similarity.ivf_topk(queries, emb, k=3,
+                                        n_centroids=4,
+                                        nprobe=2).collect()}
+    # every query's exact top-3 lives in its own cell -> identical
+    assert ivf == bf
+    # determinism: same result twice
+    again = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in similarity.ivf_topk(queries, emb, k=3,
+                                          n_centroids=4,
+                                          nprobe=2).collect()}
+    assert again == ivf

@@ -89,3 +89,45 @@ def test_max_violations_budget(spark):
     row = res.annotated.collect()[0]
     assert row["valid"] is False
     assert len(row["violations"]) == 1  # budget truncates, valid intact
+
+
+def test_stateful_key_budget_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState custom operator: per-key cumulative
+    failure counts survive micro-batch boundaries and flip the
+    quarantine flag once the budget is crossed."""
+    src = str(tmp_path / "in3")
+    # batch 1: src0 fails twice, src1 fails once
+    spark.createDataFrame(
+        [("d1", 9, "src0"), ("d2", 9, "src0"), ("d3", 9, "src1"),
+         ("d4", 1, "src1")],
+        "doc_id string, n long, source string") \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id string, n long, source string").parquet(src)
+    annotated = streaming.validate_stream(ValidationEngine(), stream,
+                                          SCHEMA)
+    budgeted = streaming.stateful_key_budget(annotated, key_col="source",
+                                             budget=2)
+    q = (budgeted.writeStream.format("memory").queryName("budget_t")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck3"))
+         .start())
+    try:
+        _drain(q)
+        # batch 2: two more src0 failures -> crosses budget=2
+        spark.createDataFrame(
+            [("d5", 9, "src0"), ("d6", 9, "src0"), ("d7", 2, "src1")],
+            "doc_id string, n long, source string") \
+            .write.mode("append").parquet(src)
+        _drain(q)
+        rows = spark.sql(
+            "SELECT * FROM budget_t ORDER BY key, total_fail").collect()
+    finally:
+        q.stop()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append(
+            (r["batch_docs"], r["batch_fail"], r["total_fail"],
+             r["quarantined"]))
+    assert by_key["src0"] == [(2, 2, 2, False), (2, 2, 4, True)]
+    assert by_key["src1"] == [(2, 1, 1, False), (1, 0, 1, False)]
