@@ -83,6 +83,13 @@ def main() -> None:
         interleaved_documents(spark, n_docs, seed=42, partitions=cpus * 4) \
             .write.mode("overwrite").parquet(fixture)
     docs = spark.read.parquet(fixture)
+    # untimed warmup: run the same compiled plan over a bounded slice so
+    # JIT/codegen happen outside the timed region (steady-state
+    # throughput is the design point; see tools/bench_scaling.py)
+    warm = spark.read.parquet(fixture).limit(50_000)
+    detect_hot_keys(warm, "doc_id", sample_fraction=0.5)
+    ValidationEngine().validate(warm, INTERLEAVED_SCHEMA) \
+        .key_aligned_summary(cpus * 4).agg(F.sum("docs")).collect()
     t0 = time.perf_counter()
     skew = detect_hot_keys(docs, "doc_id")
     res = ValidationEngine().validate(docs, INTERLEAVED_SCHEMA)
