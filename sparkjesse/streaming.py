@@ -105,6 +105,22 @@ def stateful_key_budget(annotated: DataFrame, *, key_col: str,
                                     "append", timeout))
 
 
+def dedup_stream(stream_df: DataFrame, *, id_col: str = "doc_id",
+                 time_col: str, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: exactly ONE arrival per ``id_col``
+    survives within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — per-key state is evicted once
+    the watermark passes, so memory stays bounded on unbounded streams
+    while re-crawled/replayed duplicates inside the horizon are
+    dropped; which duplicate wins is processing-order, not
+    event-time-order). The streaming analogue of
+    ``dedup.exact_duplicate_groups``; run it BEFORE validation so
+    duplicate documents are validated (and billed) once."""
+    return (stream_df
+            .withWatermark(time_col, watermark)
+            .dropDuplicatesWithinWatermark([id_col]))
+
+
 def violations_sink(annotated: DataFrame, *,
                     doc_id_col: str = "doc_id") -> DataFrame:
     """Exploded violation rows for ``writeStream`` (append-safe: a

@@ -79,3 +79,37 @@ def test_kill_mid_run_resumes_at_batch_granularity(spark, table, tmp_path):
     assert done == set(pids)
     # a changed plan re-runs everything
     assert ledger.done_partitions(plan_hash({"other": 1}), snap) == set()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key/count must sort-merge join
+    with ZERO exchanges — the write-once-shuffle-never-again layout
+    for repeated doc_id joins at scale."""
+    from pyspark.sql import functions as F
+    from sparkjesse.generator import interleaved_documents
+    docs = interleaved_documents(spark, 2000, seed=42) \
+        .select("doc_id", F.size("spans").alias("n_spans"))
+    stats = docs.groupBy("doc_id").agg(F.sum("n_spans").alias("total"))
+    # at the design scale neither join side is broadcastable; disable
+    # auto-broadcast so the planner exercises the bucketed layout the
+    # way a 10^12-row join would
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sources.write_bucketed(docs, "t_docs_b", bucket_col="doc_id",
+                               buckets=8, sort_col="doc_id")
+        sources.write_bucketed(stats, "t_stats_b", bucket_col="doc_id",
+                               buckets=8, sort_col="doc_id")
+        joined = spark.table("t_docs_b").join(spark.table("t_stats_b"),
+                                              on="doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:1500]
+        assert joined.count() > 0
+        # aggregation on the bucket key also avoids the exchange
+        agg = spark.table("t_docs_b").groupBy("doc_id").count()
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan, aplan[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_stats_b")

@@ -131,3 +131,39 @@ def test_stateful_key_budget_accumulates_across_batches(spark, tmp_path):
              r["quarantined"]))
     assert by_key["src0"] == [(2, 2, 2, False), (2, 2, 4, True)]
     assert by_key["src1"] == [(2, 1, 1, False), (1, 0, 1, False)]
+
+
+def test_dedup_stream_drops_replayed_ids(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps the first arrival per
+    doc_id; replayed duplicates within the horizon never reach the
+    validator."""
+    src = str(tmp_path / "in4")
+    spark.createDataFrame(
+        [("d1", 1, "2026-01-01 00:00:01"),
+         ("d1", 9, "2026-01-01 00:00:02"),   # replay of d1
+         ("d2", 2, "2026-01-01 00:00:03"),
+         ("d2", 2, "2026-01-01 00:00:04"),   # exact replay of d2
+         ("d3", 3, "2026-01-01 00:00:05")],
+        "doc_id string, n long, ts_s string") \
+        .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s") \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id string, n long, ts timestamp").parquet(src)
+    deduped = streaming.dedup_stream(stream, time_col="ts",
+                                     watermark="1 hour")
+    annotated = streaming.validate_stream(ValidationEngine(), deduped,
+                                          SCHEMA)
+    q = (annotated.select("doc_id", "n", "valid")
+         .writeStream.format("memory").queryName("dedup_t")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck4"))
+         .start())
+    try:
+        _drain(q)
+        rows = spark.sql("SELECT * FROM dedup_t ORDER BY doc_id").collect()
+    finally:
+        q.stop()
+    assert [r["doc_id"] for r in rows] == ["d1", "d2", "d3"]
+    # exactly one d1 survived (which duplicate wins is
+    # processing-order); d2's exact replay collapsed to its one value
+    assert rows[1]["n"] == 2 and rows[1]["valid"] is True
