@@ -89,11 +89,13 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, *,
       id — a data-derived codebook with no RNG, so the DuckDB oracle
       reproduces the index bit-for-bit; swap in k-means centroids on a
       real deployment, the plan shape is identical).
-    * **Index**: every corpus vector is assigned to its nearest
-      centroid by the deterministic fold cosine — one broadcast join
-      of the tiny codebook, one map-side argmax; at scale the
-      assignment is persisted as the table's partition/cluster key so
-      each probe is a partition-pruned scan.
+    * **Index**: the codebook is collected to the driver (it is tiny
+      by construction — real IVF codebooks are thousands of vectors)
+      and baked into the plan as literals, so cell assignment is a
+      ZERO-SHUFFLE map-side argmax over the corpus — no window, no
+      8×-corpus exchange; at scale the assignment is persisted as the
+      table's partition/cluster key so each probe is a
+      partition-pruned scan.
     * **Search**: each query probes its ``nprobe`` nearest centroid
       cells (multi-probe recall guard) and scores only those cells'
       members — candidate volume ~``nprobe/n_centroids`` of the
@@ -101,25 +103,31 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, *,
 
     Ties on assignment break toward the lower centroid id (stable in
     both engines)."""
-    cents = F.broadcast(
-        corpus.orderBy(F.col(id_col)).limit(n_centroids)
-              .select(F.col(id_col).alias("cent_id"),
-                      F.col(emb_col).alias("__cent__")))
+    cent_rows = (corpus.orderBy(F.col(id_col)).limit(n_centroids)
+                 .select(id_col, emb_col).collect())  # tiny codebook
+    cents = [(r[id_col], [float(x) for x in r[emb_col]])
+             for r in cent_rows]
+
+    def nearest_cells(emb: Column, n_cells: int) -> Column:
+        """ids of the n_cells nearest centroids: sort an
+        n_centroids-length literal-scored array — pure expressions."""
+        scored = F.array(*[
+            F.struct(
+                (-F.round(cosine_col(
+                    emb, F.array(*[F.lit(x) for x in vec])), 6))
+                .alias("negsim"),
+                F.lit(cid).alias("cent_id"))
+            for cid, vec in cents])
+        return F.transform(F.slice(F.sort_array(scored), 1, n_cells),
+                           lambda c: c.getField("cent_id"))
 
     def assign(df: DataFrame, id_alias: str, emb_alias: str,
                n_cells: int) -> DataFrame:
-        scored = (df.select(F.col(id_col).alias(id_alias),
-                            F.col(emb_col).alias(emb_alias))
-                  .join(cents)
-                  .select(id_alias, emb_alias, "cent_id",
-                          F.round(cosine_col(F.col(emb_alias),
-                                             F.col("__cent__")), 6)
-                          .alias("__sim__")))
-        w = Window.partitionBy(id_alias).orderBy(
-            F.desc("__sim__"), F.asc("cent_id"))
-        return (scored.withColumn("__r__", F.row_number().over(w))
-                      .where(F.col("__r__") <= n_cells)
-                      .drop("__sim__", "__r__"))
+        return (df.select(F.col(id_col).alias(id_alias),
+                          F.col(emb_col).alias(emb_alias),
+                          F.explode(nearest_cells(F.col(emb_col),
+                                                  n_cells))
+                          .alias("cent_id")))
 
     indexed = assign(corpus, "neighbor_id", "__ce__", 1)
     probes = F.broadcast(assign(queries, "query_id", "__qe__", nprobe))

@@ -259,3 +259,15 @@ def test_ivf_topk_probes_and_recall(spark):
                                           n_centroids=4,
                                           nprobe=2).collect()}
     assert again == ivf
+
+
+def test_ivf_assignment_is_map_side(spark):
+    """IVF index build must not shuffle the corpus: the only hash
+    exchange is the final per-query top-k window, and the only other
+    exchange broadcasts the tiny probe side."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 4)
+    out = similarity.ivf_topk(q, emb, k=3, n_centroids=4, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    assert plan.count("BroadcastExchange") == 1, plan[:1500]
