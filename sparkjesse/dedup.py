@@ -94,80 +94,70 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
                         rows_per_band: int = 2,
                         shingle_n: int = 3) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of their min-hash
-    signature. Emits ``bands`` (band, band_key) rows per doc, buckets by
-    (band, band_key) via a self-join, returns distinct (id_a < id_b)
-    pairs. At 10^12 docs the join key space is huge and uniform (md5),
-    so the shuffle partitions evenly; hot boilerplate buckets are the
-    *point* (they are the duplicates)."""
+    signature, as (id_a < id_b) rows.
+
+    Pair stage is a STREAMING equijoin on (band, band_key) — the same
+    shape as ``simhash_near_pairs``. Identical documents share identical
+    signatures in EVERY band, so real corpora have mega-buckets (one
+    boilerplate page crawled 10^6 times); a ``collect_list`` + in-row
+    expansion would build that bucket's entire quadratic pair set inside
+    ONE row (~5×10^11 structs — a single-task OOM), while the join
+    streams pairs through the operator pipeline and AQE can skew-split a
+    hot bucket across tasks. One explicit bucket-keyed exchange is
+    shared by both self-join sides (ReuseExchange — signatures folded
+    once), and FIRST-MATCH-BAND dedup (each pair emitted only from its
+    lowest agreeing band, checked against the carried band-key array)
+    makes every pair unique by construction — the quadratic pair stream
+    never crosses another shuffle and there is no global ``distinct``."""
     sigs = minhash_signatures(df, text_col, id_col,
                               num_hashes=bands * rows_per_band,
                               shingle_n=shingle_n)
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws(
-                "|", *[F.col(f"mh{b * rows_per_band + r}")
-                       for r in range(rows_per_band)])).alias("band_key"))
+    bkeys = F.array(*[
+        F.md5(F.concat_ws(
+            "|", *[F.col(f"mh{b * rows_per_band + r}")
+                   for r in range(rows_per_band)]))
         for b in range(bands)
     ])
-    banded = (sigs.select(F.col(id_col), F.explode(band_structs).alias("bk"))
-                  .select(F.col(id_col), F.col("bk.band").alias("band"),
-                          F.col("bk.band_key").alias("band_key")))
-    # bucket-local pair expansion beats a self-join here: the input is
-    # scanned (and signatures computed) ONCE, one shuffle groups ids per
-    # (band, band_key), and pairs are generated per bucket with array
-    # lambdas — pair count is inherently quadratic per bucket either way
-    buckets = (banded.groupBy("band", "band_key")
-                     .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-                     .where(F.size("ids") > 1))
-    pairs = F.flatten(F.transform(
-        F.col("ids"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ids"), i + 2,
-                    F.greatest(F.size(F.col("ids")) - i - 1, F.lit(0))),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
-    return (buckets.select(F.explode(pairs).alias("p"))
-                   .select("p.id_a", "p.id_b")
-                   .distinct())
+    banded = (sigs.select(F.col(id_col), bkeys.alias("bkeys"),
+                          F.explode(F.sequence(
+                              F.lit(0), F.lit(bands - 1))).alias("band"))
+                  .withColumn("band_key",
+                              F.element_at("bkeys", F.col("band") + 1)))
+    banded = banded.repartition(F.col("band"), F.col("band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cond = (F.col("a.band") == F.col("b.band")) \
+        & (F.col("a.band_key") == F.col("b.band_key")) \
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    # first-match-band dedup: suppress the emit when any EARLIER band
+    # also agrees — each unordered pair surfaces exactly once
+    for b2 in range(bands - 1):
+        cond = cond & ~((F.lit(b2) < F.col("a.band"))
+                        & (F.element_at(F.col("a.bkeys"), b2 + 1)
+                           == F.element_at(F.col("b.bkeys"), b2 + 1)))
+    return (a.join(b, cond)
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b")))
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
-def _nibble(digest: Column, pos_1based: int) -> Column:
-    """Hex nibble value 0..15 at a 1-based digest position, via a
-    constant-string index — reproducible in any engine with strpos."""
-    return (F.instr(F.lit(HEX), F.substring(digest, pos_1based, 1)) - 1) \
-        .cast("int")
-
-
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             *, bits: int = 16) -> DataFrame:
     """Charikar SimHash over distinct tokens: token bit ``j`` comes from
     md5-hex nibble ``j//4`` of the token digest; each token votes ±1 per
-    bit; fingerprint bit = (vote sum > 0). One explode + one groupBy
-    (shuffle volume = #docs × #distinct tokens, partial-aggregated
-    map-side). Returns (id, simhash) with a ``bits``-bit integer."""
-    assert bits % 4 == 0 and bits <= 64
-    toks = F.array_distinct(tokens_col(text_col))
-    exploded = df.select(F.col(id_col),
-                         F.explode(toks).alias("tok"))
-    digest = F.md5(F.col("tok"))
-    votes = [
-        (F.when((F.shiftright(_nibble(digest, j // 4 + 1), j % 4)
-                 .bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1))
-        for j in range(bits)
-    ]
-    agg = (exploded
-           .select(F.col(id_col),
-                   *[v.alias(f"v{j}") for j, v in enumerate(votes)])
-           .groupBy(id_col)
-           .agg(*[F.sum(f"v{j}").alias(f"s{j}") for j in range(bits)]))
-    fp = F.lit(0).cast("long")
-    for j in range(bits):
-        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(0)
-    return agg.select(F.col(id_col), fp.alias("simhash"))
+    bit; fingerprint bit = (vote sum > 0). Returns (id, simhash) with a
+    ``bits``-bit integer.
+
+    Computed as a ZERO-SHUFFLE per-row fold — this is
+    ``simhash_banded`` with a single band (identical vote math, proven
+    by the shared implementation), so the operator stays map-side
+    however big the table. The earlier explode + ``bits``-column groupBy
+    shuffled #docs × #distinct-tokens rows for the same output."""
+    assert bits % 4 == 0 and bits <= 60  # fits a non-negative signed long
+    out = simhash_banded(df, text_col, id_col, bits=bits, bands=1)
+    return out.select(F.col(id_col), F.col("band0").alias("simhash"))
 
 
 def simhash_banded(df: DataFrame, text_col: str = "text",

@@ -261,6 +261,40 @@ def test_ivf_topk_probes_and_recall(spark):
     assert again == ivf
 
 
+def test_simhash_is_zero_shuffle(spark):
+    """simhash is a per-row fold: no Exchange anywhere in the plan
+    (the legacy implementation shuffled #docs × #distinct-tokens
+    exploded rows through a 16-column groupBy)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = dedup.simhash(docs, bits=16) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1200]
+
+
+def test_lsh_mega_cluster_streams_pairs(spark):
+    """A 10k-copy duplicate cluster shares every band of its minhash
+    signature. The pair stage must stream the ~5×10^7 pairs through a
+    join — never collect_list a bucket and expand the quadratic pair
+    set inside one row (a single-task OOM at web scale) — and
+    first-match-band dedup must emit each unordered pair exactly once
+    (all 4 bands agree here; a naive emit would count every pair 4×)."""
+    n = 10_000
+    boiler = ("the same boilerplate page crawled many times with "
+              "identical tokens everywhere on it")
+    dup = spark.range(n).select(F.col("id").alias("doc_id"),
+                                F.lit(boiler).alias("text"))
+    uniq = spark.range(n + 1, n + 2).select(
+        F.col("id").alias("doc_id"),
+        F.lit("completely different words in this unique "
+              "document right here").alias("text"))
+    pairs = dedup.lsh_candidate_pairs(dup.unionByName(uniq),
+                                      bands=4, rows_per_band=2)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan, plan[:1500]
+    assert pairs.agg(F.count(F.lit(1))).collect()[0][0] \
+        == n * (n - 1) // 2
+
+
 def test_ivf_assignment_is_map_side(spark):
     """IVF index build must not shuffle the corpus: the only hash
     exchange is the final per-query top-k window, and the only other
