@@ -109,10 +109,40 @@ class CompileContext:
 #   property tables differ), digits (backreferences)
 _SAFE_ESCAPES = set("dDwWsSbBnrtfa\\.^$*+?()[]{}|/-, '\"<>=!:;#@%&~`_")
 
+# Vetted patterns are handed to Java `rlike` with this flag prefix.
+# (?d) UNIX_LINES: Java's bare `.`, `^`, `$` otherwise recognize \r,
+#   U+0085, U+2028, U+2029 as line terminators where Python `re`
+#   recognizes only \n — verified live: rlike('a.c') is false on
+#   'a\rc' and rlike('foo$') is true on 'foo\r', both against Python.
+#   UNIX_LINES restricts Java to \n, aligning all three metachars.
+# (?U) UNICODE_CHARACTER_CLASS: Java's \d \w \s are ASCII-only by
+#   default where Python's are Unicode-aware (\d misses Arabic-Indic
+#   digits, \s misses U+00A0/U+2028/U+0085). (?U) switches Java to the
+#   Unicode property tables. Residual (documented, pinned in
+#   test_engine_options.test_known_residual_divergences): Python \w
+#   follows str.isalnum() and so includes No/Nl chars ('²', 'Ⅻ') that
+#   Java's \w excludes even under (?U); Python \s follows str.isspace()
+#   and so includes U+001C..U+001F which the Unicode White_Space
+#   property (Java's (?U)\s) excludes. Both classes are vanishingly
+#   rare in real text, and jesse's own Erlang PCRE runs in 8-bit byte
+#   mode where ALL of these classes are ASCII-only — Python-re
+#   semantics with (?dU) alignment is strictly closer than either
+#   engine default.
+JAVA_VETTED_PREFIX = "(?dU)"
+
+
+def java_vetted_pattern(p: str) -> str:
+    """The exact pattern string the engine hands to Java ``rlike`` for
+    a vetted pattern ``p`` (see ``JAVA_VETTED_PREFIX``). Exposed so the
+    differential fuzz suite exercises the true production pattern."""
+    return JAVA_VETTED_PREFIX + p
+
 
 def is_vetted_pattern(p: str) -> bool:
-    """True iff ``p`` provably means the same thing to PCRE/Python
-    ``re`` and Java ``Pattern`` (conservative whitelist)."""
+    """True iff ``p`` (as rewritten by ``java_vetted_pattern``) means
+    the same thing to PCRE/Python ``re`` and Java ``Pattern``
+    (conservative whitelist; residual edge classes documented at
+    ``JAVA_VETTED_PREFIX``)."""
     i, n = 0, len(p)
     in_class = False
     while i < n:
@@ -214,7 +244,7 @@ def _kernel_pattern_col(pattern: str, value: Column) -> Column:
 def _pattern_predicate(pattern: str, value: Column,
                        ctx: "CompileContext") -> Column:
     if is_vetted_pattern(pattern):
-        return _ns(value.rlike(pattern))
+        return _ns(value.rlike(java_vetted_pattern(pattern)))
     if ctx.in_lambda:
         raise CompileError(
             f"pattern {pattern!r} is outside the vetted PCRE/Java-regex "
@@ -701,7 +731,7 @@ def _map_properties_predicate(kw: str, arg: Any, schema: dict, value: Column,
         # single-arg lambda via factory — Spark calls multi-parameter
         # lambdas with (element, index), breaking default-arg closures
         def entry_check(p: str, s: Any):
-            return lambda e: ~e.getField("key").rlike(p) \
+            return lambda e: ~e.getField("key").rlike(java_vetted_pattern(p)) \
                 | _rebind_predicate(s, e.getField("value"),
                                     dtype.valueType, ctx, _depth)
 
@@ -723,7 +753,7 @@ def _map_properties_predicate(kw: str, arg: Any, schema: dict, value: Column,
             k = e.getField("key")
             cond = ~k.isin(known) if known else F.lit(True)
             for p in patterns:
-                cond = cond & ~k.rlike(p)
+                cond = cond & ~k.rlike(java_vetted_pattern(p))
             return cond
 
         if arg is False:

@@ -89,26 +89,44 @@ class ValidationResult:
         hash(doc_id), salt)`` + per-Spark-partition aggregation — the
         shape you want when per-row work (partitioned sinks, per-key
         passes) must actually follow the exchange. Both modes produce
-        identical summaries (asserted in tests). Pass ``skew`` from
-        ``partitioning.detect_hot_keys`` run against the *source* key
-        column (a column-pruned scan) so detection never re-runs
-        validation."""
+        identical summaries **when given the same ``skew`` report**
+        (asserted in tests); with ``skew=None`` the physical mode
+        auto-detects hot keys while the logical mode assumes none, so
+        partition assignments (not totals) can differ on skewed input —
+        pass an explicit report when the ids must line up. Pass
+        ``skew`` from ``partitioning.detect_hot_keys`` run against the
+        *source* key column (a column-pruned scan) so detection never
+        re-runs validation."""
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
         from .partitioning import (SALT_COL, SkewReport, salt_column,
                                    salted_repartition)
-        pairs = self.annotated.select(F.col(self.doc_id_col).alias("doc_id"),
-                                      F.col("valid"))
+        # the pairs frame is only (doc_id, valid) — at most 2 distinct
+        # whole-row tiebreak values per key, which would defeat hot-key
+        # salting. Carry per-row entropy from the SOURCE row's scalar
+        # columns into the tiebreak instead (same expression in both
+        # modes, so their salts — and partition ids — agree).
+        scalars = [f.name for f in self.annotated.schema.fields
+                   if not isinstance(f.dataType,
+                                     (ArrayType, MapType, StructType))
+                   and f.name != "valid"]
+        tb = F.xxhash64(*[F.col(c) for c in scalars[:5]])
+        pairs = self.annotated.select(
+            F.col(self.doc_id_col).alias("doc_id"), F.col("valid"),
+            tb.alias("__tb__"))
         agg = [F.count(F.lit(1)).alias("docs"),
                F.sum(F.col("valid").cast("long")).alias("pass"),
                F.sum((~F.col("valid")).cast("long")).alias("fail")]
         if physical:
             rep = salted_repartition(pairs, "doc_id", num_partitions,
-                                     skew=skew).drop(SALT_COL)
+                                     skew=skew, tiebreak=F.col("__tb__")) \
+                .drop(SALT_COL, "__tb__")
             return (rep.select(F.spark_partition_id().alias("partition_id"),
                                F.col("valid"))
                        .groupBy("partition_id").agg(*agg))
         if skew is None:
             skew = SkewReport(0, [], 0.0)
-        salt = salt_column(pairs, "doc_id", skew)
+        salt = salt_column(pairs, "doc_id", skew, tiebreak=F.col("__tb__"))
         # pmod(hash(...), n) is exactly HashPartitioning's partition-id
         # expression (Murmur3 + pmod) — logical and physical modes agree
         pid = F.pmod(F.hash(F.col("doc_id"), salt), F.lit(num_partitions))
@@ -197,6 +215,12 @@ class ValidationEngine:
                 F.slice(F.col("violations"), 1, max_violations_per_doc))
         res = ValidationResult(annotated=annotated, doc_id_col=doc_id_col)
         if violation_sink is not None:
+            # the sink's consumption runs the validation job; without a
+            # persist the caller's later use of the result would run it
+            # AGAIN (double evaluation at the 10^12-row design point).
+            # The engine leaves the frame cached — callers release it
+            # with res.annotated.unpersist() when done.
+            res.annotated.persist()
             violation_sink(res.violations)
         return res
 
@@ -226,6 +250,7 @@ class ValidationEngine:
                 "violations", F.slice(F.col("violations"), 1, n))
         res = ValidationResult(annotated=annotated, doc_id_col=doc_id_col)
         if violation_sink is not None:
+            res.annotated.persist()  # see validate(): sink + caller use
             violation_sink(res.violations)
         return res
 

@@ -18,6 +18,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 SALT_COL = "__salt__"
 
@@ -77,16 +78,24 @@ def salt_column(df: DataFrame, key: str, skew: SkewReport, *,
     those re-evaluate differently when a stage is partially re-executed
     after a fetch failure (SPARK-23207 class), silently routing re-
     computed rows to different salt buckets and corrupting downstream
-    per-partition results. Default: ``xxhash64`` over every column of
-    ``df`` — stable under retries. Rows that are full byte-duplicates
+    per-partition results. Default: ``xxhash64`` over the key plus the
+    first few SCALAR columns of ``df`` — stable under retries, and
+    cheap: hashing every column (nested arrays, wide documents) was
+    measured at ~7x the cost of the shuffle itself, paid per row via
+    subexpression elimination. Rows identical in the hashed subset
     collide into one bucket (exact duplicates are the dedup operators'
     job, not the salter's); pass a cheap unique column (e.g. a source
-    row uid) as ``tiebreak`` when rows can be wide or fully identical."""
+    row uid) as ``tiebreak`` when the scalar subset can't separate
+    rows."""
     hot_values = [k for k, _ in skew.hot_keys]
     if not hot_values:
         return F.lit(0)
     if tiebreak is None:
-        tb = F.xxhash64(*[F.col(c) for c in df.columns])
+        scalars = [f.name for f in df.schema.fields
+                   if not isinstance(f.dataType,
+                                     (ArrayType, MapType, StructType))
+                   and f.name != key]
+        tb = F.xxhash64(*[F.col(c) for c in [key] + scalars[:4]])
     else:
         tb = F.xxhash64(F.col(tiebreak) if isinstance(tiebreak, str)
                         else tiebreak)

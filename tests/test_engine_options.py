@@ -135,6 +135,65 @@ def test_vetted_pattern_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_vetted_metachars_align_with_python_on_cr_text(spark):
+    r"""Bare `.` and `$` in a VETTED pattern must carry Python-re
+    semantics on \r-bearing text (common in crawled corpora): Java
+    alone treats \r/U+0085/U+2028 as line terminators, so rlike('a.c')
+    misses 'a\rc' and rlike('foo$') accepts 'foo\r' — the (?dU) prefix
+    (compiler.java_vetted_pattern) restores PCRE behavior while staying
+    JVM-side."""
+    import re as _re
+
+    from sparkjesse.compiler import java_vetted_pattern
+    cases = [  # (pattern, value)
+        ("a.c", "a\rc"), ("a.c", "a c"), ("a.c", "a\nc"),
+        ("foo$", "foo\r"), ("foo$", "foo\r\n"), ("foo$", "foo\n"),
+        ("^x.", "x"), ("x.$", "xe\r"),
+        (r"\d+", "١٢"), (r"\s", "a b"),
+        (r"\s", "a c"),
+    ]
+    rows = [(i, p, v) for i, (p, v) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i long, p string, v string")
+    got = {}
+    for i, (p, v) in enumerate(cases):
+        schema = {"type": "object", "properties": {"v": {"pattern": p}}}
+        res = ValidationEngine().validate(
+            df.where(F.col("i") == i).select("i", "v"), schema,
+            doc_id_col="i")
+        plan = res.annotated._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, f"{p!r} left the JVM"
+        got[i] = res.annotated.select("valid").collect()[0]["valid"]
+    for i, (p, v) in enumerate(cases):
+        assert got[i] == bool(_re.search(p, v)), (p, ascii(v))
+        # and the raw Java pattern really would diverge without the fix
+        # for the core '.'/'$' cases
+    raw = spark.range(1).select(
+        F.lit("a\rc").rlike("a.c").alias("dot"),
+        F.lit("foo\r").rlike("foo$").alias("dollar"),
+        F.lit("a\rc").rlike(java_vetted_pattern("a.c")).alias("dot_fixed"),
+        F.lit("foo\r").rlike(java_vetted_pattern("foo$")).alias(
+            "dollar_fixed")).collect()[0]
+    assert raw["dot"] is False and raw["dot_fixed"] is True
+    assert raw["dollar"] is True and raw["dollar_fixed"] is False
+
+
+def test_known_residual_divergences(spark):
+    r"""The two DOCUMENTED residual gaps of the (?dU) alignment
+    (compiler.JAVA_VETTED_PREFIX): Python \w includes No/Nl
+    alphanumerics ('²') and Python \s includes U+001C..U+001F, which
+    Java excludes even under (?U). Pinned so a Spark/JDK upgrade that
+    closes (or widens) the gap is noticed."""
+    import re as _re
+
+    from sparkjesse.compiler import java_vetted_pattern
+    row = spark.range(1).select(
+        F.lit("²").rlike(java_vetted_pattern(r"\w")).alias("w_no"),
+        F.lit("\x1c").rlike(java_vetted_pattern(r"\s")).alias("s_sep"),
+    ).collect()[0]
+    assert bool(_re.search(r"\w", "²")) is True and row["w_no"] is False
+    assert bool(_re.search(r"\s", "\x1c")) is True and row["s_sep"] is False
+
+
 # ---------------------------------------------------------------------------
 # draft3 enum exact numeric equality (Erlang =:=)
 # ---------------------------------------------------------------------------
@@ -289,6 +348,10 @@ def test_violation_sink_receives_relation(spark):
     assert len(captured) == 1
     assert captured[0].count() == 1
     assert res.totals()["fail"] == 1
+    # single evaluation: the engine persists the annotated frame so the
+    # sink's consumption and the caller's later use share one run
+    assert res.annotated.storageLevel.useMemory
+    res.annotated.unpersist()
 
 
 def test_max_violations_budget_zero_keeps_valid_flag(spark):

@@ -113,3 +113,24 @@ def test_salting_no_hot_keys_is_stable(spark):
     out = pt.salted_repartition(df, "k", 8, skew=rep)
     assert out.count() == 1000
     assert pt.skew_factor(out) < 2.0
+
+
+def test_physical_summary_spreads_hot_key_with_row_entropy(spark):
+    """The pairs frame inside key_aligned_summary is only (doc_id,
+    valid) — a whole-row tiebreak would take ≤2 values per key, leaving
+    a hot doc_id in ≤2 of 16 salt buckets. The engine derives the
+    tiebreak from the SOURCE row's scalar columns instead, so 2000
+    same-key rows (distinct uids) must spread across many partitions."""
+    from sparkjesse.engine import ValidationEngine
+    df = spark.range(2000).select(
+        F.lit("hot").alias("doc_id"),
+        F.col("id").alias("uid"),
+        (F.col("id") % 97).alias("n"))
+    res = ValidationEngine().validate(
+        df, {"type": "object", "properties": {"n": {"minimum": 0}}})
+    skew = pt.SkewReport(2000, [("hot", 2000)], 0.01)
+    summ = res.key_aligned_summary(32, skew=skew, physical=True)
+    spread = summ.where(F.col("docs") > 0).count()
+    assert spread >= 8, f"hot key landed in only {spread} partitions"
+    # and totals are intact
+    assert summ.agg(F.sum("docs")).collect()[0][0] == 2000
