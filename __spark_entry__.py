@@ -394,6 +394,19 @@ def _sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(queries, emb, k=3, n_centroids=8, nprobe=2)
 
 
+def _sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a deterministically-seeded Lloyd-trained codebook and
+    the broadcast-matrix pandas-UDF assignment (the large-codebook
+    scale path — `similarity.kmeans_codebook`). No SQL oracle: the
+    k-means refinement is iterative; the driver's rows-only check
+    applies, and bit-parity of the assignment path itself is pinned by
+    `test_ivf_broadcast_assignment_parity_at_256_centroids`."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
+    return similarity.ivf_topk(queries, emb, k=3, n_centroids=64,
+                               nprobe=8, train_iters=2, literal_max=16)
+
+
 def _kvc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """jesse_json_path parity: dot-path lookup (`path/2` →
     get_json_object) + @count/@sum/@avg/@max/@min aggregates."""
@@ -445,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": _sim_topk,
         "sim_ann": _sim_ann,
         "sim_ivf": _sim_ivf,
+        "sim_ivf_trained": _sim_ivf_trained,
         "kvc_agg": _kvc_agg,
     }
 

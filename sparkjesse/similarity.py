@@ -20,8 +20,14 @@ unspecified.
 
 from __future__ import annotations
 
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
 from pyspark.sql.window import Window
 
 
@@ -77,38 +83,177 @@ def sign_bucket(emb: Column, *, bits: int = 4) -> Column:
     return out.cast("int")
 
 
+def _fold_cosines(emb_rows: Sequence, codebook: np.ndarray) -> np.ndarray:
+    """Rounded cosines between each row embedding and every codebook
+    vector, reproducing the engine's deterministic expression math
+    BIT-FOR-BIT: dot products and squared norms are accumulated with an
+    explicit loop over dimensions IN INDEX ORDER (the same left fold as
+    ``dot_col`` — numpy's matmul/pairwise summation would differ in the
+    last ulp), cosine = dot / |a| / |b| (divide twice, same order), and
+    rounding is sign-aware HALF_UP to 6 decimals (Spark/DuckDB
+    ``round`` semantics; ``np.round`` is half-to-even)."""
+    E = np.stack([np.asarray(e, dtype=np.float64) for e in emb_rows])
+    C = codebook.astype(np.float64)
+    n, d = E.shape
+    S = np.zeros((n, C.shape[0]))
+    en = np.zeros(n)
+    cn = np.zeros(C.shape[0])
+    for j in range(d):  # left fold in index order == dot_col
+        S += E[:, j:j + 1] * C[None, :, j]
+        en += E[:, j] * E[:, j]
+        cn += C[:, j] * C[:, j]
+    cos = S / np.sqrt(en)[:, None] / np.sqrt(cn)[None, :]
+    return np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+
+
+def _nearest_cells_udf(cents: list, n_cells: int):
+    """Pandas UDF: the ``n_cells`` nearest centroid ids per embedding,
+    scored against a BROADCAST numpy matrix — the assignment path for
+    large codebooks, where baking ``n_centroids × dim`` literals into
+    the expression tree (the small-codebook path) would blow up
+    Catalyst. Ordering matches the literal path exactly: rounded-cosine
+    desc, centroid id asc (``cents`` must be sorted by id)."""
+    cids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    cb = np.asarray([v for _, v in cents], dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def nearest(emb: pd.Series) -> pd.Series:
+        cos = _fold_cosines(list(emb), cb)
+        # lexsort: last key is primary → (-cos) primary, id asc tie
+        order = np.lexsort((np.broadcast_to(cids, cos.shape), -cos),
+                           axis=1)[:, :n_cells]
+        return pd.Series([row.tolist() for row in
+                          cids[order].astype(np.int32)])
+
+    return nearest
+
+
+def kmeans_codebook(corpus: DataFrame, *, id_col: str = "vec_id",
+                    emb_col: str = "embedding", n_centroids: int = 256,
+                    n_iters: int = 5) -> list:
+    """Deterministic Lloyd refinement: a k-means codebook as
+    ``[(cent_id, vector), ...]`` sorted by cent_id (= codebook
+    position), seeded with the first ``n_centroids`` corpus vectors by
+    id (data-derived, no RNG) and refined for a FIXED ``n_iters``.
+
+    Scale shape per iteration: one corpus pass assigns cells via the
+    broadcast-matrix pandas UDF (zero shuffle), ``mapInPandas`` emits
+    per-partition partial (cell, count, sum-vector) rows — at most
+    ``partitions × n_centroids`` tiny rows — and a groupBy reduces them
+    to ``n_centroids`` rows before a codebook-sized collect. The corpus
+    itself never shuffles and never reaches the driver.
+
+    Determinism: partials carry their partition id and the combine sums
+    them in sorted (cell, partition) order, so results are reproducible
+    for a fixed input layout; centroid components are rounded to 9
+    decimals each iteration to damp last-ulp reorder jitter. Empty
+    cells keep their previous centroid."""
+    from pyspark import TaskContext
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    seed_rows = (corpus.orderBy(F.col(id_col)).limit(n_centroids)
+                 .select(emb_col).collect())
+    cb = np.asarray([[float(x) for x in r[emb_col]] for r in seed_rows],
+                    dtype=np.float64)
+    k, dim = cb.shape
+    partial_schema = StructType([
+        StructField("cell", LongType()),
+        StructField("pid", LongType()),
+        StructField("cnt", LongType()),
+        StructField("s", ArrayType(DoubleType())),
+    ])
+    emb_only = corpus.select(emb_col)
+    for _ in range(n_iters):
+        cb_iter = cb.copy()
+
+        def partials(batches: Iterator[pd.DataFrame]
+                     ) -> Iterator[pd.DataFrame]:
+            pid = TaskContext.get().partitionId()
+            cnt = np.zeros(k, dtype=np.int64)
+            acc = np.zeros((k, dim))
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cos = _fold_cosines(list(pdf[emb_col]), cb_iter)
+                cells = np.argmax(cos, axis=1)  # first max = lowest id
+                E = np.stack([np.asarray(e, dtype=np.float64)
+                              for e in pdf[emb_col]])
+                for c in np.unique(cells):
+                    m = cells == c
+                    cnt[c] += int(m.sum())
+                    acc[c] += E[m].sum(axis=0)
+            hit = np.nonzero(cnt)[0]
+            yield pd.DataFrame({"cell": hit, "pid": pid,
+                                "cnt": cnt[hit],
+                                "s": [acc[c] for c in hit]})
+
+        def combine(key, pdf):
+            pdf = pdf.sort_values("pid")  # deterministic sum order
+            s = np.zeros(dim)
+            for row in pdf["s"]:
+                s += np.asarray(row)
+            n = int(pdf["cnt"].sum())
+            return pd.DataFrame({"cell": [key[0]], "cnt": [n],
+                                 "s": [s / n]})
+
+        rows = (emb_only.mapInPandas(partials, partial_schema)
+                .groupBy("cell")
+                .applyInPandas(combine,
+                               "cell bigint, cnt bigint, s array<double>")
+                .collect())
+        for r in rows:
+            cb[r["cell"]] = np.round(np.asarray(r["s"]), 9)
+    return [(i, [float(x) for x in cb[i]]) for i in range(k)]
+
+
+# literal-codebook assignment stays an expression tree up to this many
+# centroids; beyond it the broadcast-matrix pandas UDF takes over (a
+# ~64k-literal Catalyst tree per probe stage is not viable)
+LITERAL_CODEBOOK_MAX = 32
+
+
 def ivf_topk(queries: DataFrame, corpus: DataFrame, *,
              id_col: str = "vec_id", emb_col: str = "embedding",
-             k: int = 3, n_centroids: int = 8,
-             nprobe: int = 2) -> DataFrame:
+             k: int = 3, n_centroids: int = 8, nprobe: int = 2,
+             codebook: Optional[list] = None, train_iters: int = 0,
+             literal_max: int = LITERAL_CODEBOOK_MAX) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the scale path for
     embedding search at 10^12 rows.
 
-    * **Coarse quantizer**: ``n_centroids`` centroids chosen
-      deterministically (the first ``n_centroids`` corpus vectors by
-      id — a data-derived codebook with no RNG, so the DuckDB oracle
-      reproduces the index bit-for-bit; swap in k-means centroids on a
-      real deployment, the plan shape is identical).
-    * **Index**: the codebook is collected to the driver (it is tiny
-      by construction — real IVF codebooks are thousands of vectors)
-      and baked into the plan as literals, so cell assignment is a
-      ZERO-SHUFFLE map-side argmax over the corpus — no window, no
-      8×-corpus exchange; at scale the assignment is persisted as the
-      table's partition/cluster key so each probe is a
-      partition-pruned scan.
+    * **Coarse quantizer**: ``codebook`` as ``[(cent_id, vector)]``,
+      or — by default — the first ``n_centroids`` corpus vectors by id
+      (data-derived, no RNG, so the DuckDB oracle reproduces the index
+      bit-for-bit). ``train_iters > 0`` refines the seed with the
+      deterministic Lloyd pass (``kmeans_codebook``).
+    * **Index**: cell assignment is a ZERO-SHUFFLE map-side argmax
+      over the corpus. Small codebooks (≤ ``literal_max``) are baked
+      into the plan as expression literals; larger ones ship as a
+      broadcast numpy matrix inside an Arrow-batched pandas UDF with
+      BIT-IDENTICAL scoring (``_fold_cosines`` reproduces the
+      expression fold; parity is test-pinned at 256 centroids). At
+      scale the assignment is persisted as the table's partition/
+      cluster key so each probe is a partition-pruned scan.
     * **Search**: each query probes its ``nprobe`` nearest centroid
       cells (multi-probe recall guard) and scores only those cells'
       members — candidate volume ~``nprobe/n_centroids`` of the
       corpus.
 
     Ties on assignment break toward the lower centroid id (stable in
-    both engines)."""
-    cent_rows = (corpus.orderBy(F.col(id_col)).limit(n_centroids)
-                 .select(id_col, emb_col).collect())  # tiny codebook
-    cents = [(r[id_col], [float(x) for x in r[emb_col]])
-             for r in cent_rows]
+    both engines and both assignment paths)."""
+    if codebook is None:
+        if train_iters > 0:
+            codebook = kmeans_codebook(corpus, id_col=id_col,
+                                       emb_col=emb_col,
+                                       n_centroids=n_centroids,
+                                       n_iters=train_iters)
+        else:
+            cent_rows = (corpus.orderBy(F.col(id_col)).limit(n_centroids)
+                         .select(id_col, emb_col).collect())
+            codebook = [(r[id_col], [float(x) for x in r[emb_col]])
+                        for r in cent_rows]
+    cents = sorted(codebook, key=lambda c: c[0])
 
-    def nearest_cells(emb: Column, n_cells: int) -> Column:
+    def nearest_cells_literal(emb: Column, n_cells: int) -> Column:
         """ids of the n_cells nearest centroids: sort an
         n_centroids-length literal-scored array — pure expressions."""
         scored = F.array(*[
@@ -123,11 +268,13 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, *,
 
     def assign(df: DataFrame, id_alias: str, emb_alias: str,
                n_cells: int) -> DataFrame:
+        if len(cents) <= literal_max:
+            cells = nearest_cells_literal(F.col(emb_col), n_cells)
+        else:
+            cells = _nearest_cells_udf(cents, n_cells)(F.col(emb_col))
         return (df.select(F.col(id_col).alias(id_alias),
                           F.col(emb_col).alias(emb_alias),
-                          F.explode(nearest_cells(F.col(emb_col),
-                                                  n_cells))
-                          .alias("cent_id")))
+                          F.explode(cells).alias("cent_id")))
 
     indexed = assign(corpus, "neighbor_id", "__ce__", 1)
     probes = F.broadcast(assign(queries, "query_id", "__qe__", nprobe))

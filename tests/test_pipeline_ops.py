@@ -305,3 +305,83 @@ def test_ivf_assignment_is_map_side(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
     assert plan.count("BroadcastExchange") == 1, plan[:1500]
+
+
+def test_ivf_broadcast_assignment_parity_at_256_centroids(spark):
+    """The broadcast-matrix pandas-UDF assignment must agree with the
+    literal-expression path BIT-FOR-BIT at a codebook size (256) where
+    literal baking is only still feasible enough to serve as the
+    reference: same fold order for dots/norms, same HALF_UP rounding,
+    same id-ascending tie-break. Also pins the plan: no corpus shuffle
+    (the only hash exchange is the top-k window) and one broadcast."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") >= 490)
+    lit = similarity.ivf_topk(q, emb, k=3, n_centroids=256, nprobe=2,
+                              literal_max=1024)
+    bc = similarity.ivf_topk(q, emb, k=3, n_centroids=256, nprobe=2,
+                             literal_max=16)
+    rows_lit = sorted(tuple(r) for r in lit.collect())
+    rows_bc = sorted(tuple(r) for r in bc.collect())
+    assert rows_bc == rows_lit
+    # after execution AQE's toString appends the Initial Plan section —
+    # count exchanges in the final plan only
+    plan = bc._jdf.queryExecution().executedPlan().toString() \
+        .split("+- == Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    assert plan.count("BroadcastExchange") == 1, plan[:1500]
+    assert "ArrowEvalPython" in plan  # the broadcast-matrix UDF
+
+
+def test_kmeans_codebook_deterministic_and_tightens_cells(spark):
+    """Fixed-iteration Lloyd: bit-identical across runs on the same
+    layout, and the refined codebook must not WORSEN the quantization
+    objective (mean cosine of each vector to its assigned centroid)
+    versus the first-n seed."""
+    import numpy as np
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb1 = similarity.kmeans_codebook(emb, n_centroids=16, n_iters=3)
+    cb2 = similarity.kmeans_codebook(emb, n_centroids=16, n_iters=3)
+    assert cb1 == cb2
+    assert len(cb1) == 16 and len(cb1[0][1]) == 64
+
+    vecs = np.asarray([r["embedding"] for r in
+                       emb.select("embedding").collect()], dtype=np.float64)
+
+    def objective(cb):
+        C = np.asarray([v for _, v in cb])
+        sims = (vecs @ C.T) / np.linalg.norm(vecs, axis=1)[:, None] \
+            / np.linalg.norm(C, axis=1)[None, :]
+        return float(sims.max(axis=1).mean())
+
+    seed_rows = emb.orderBy("vec_id").limit(16) \
+        .select("vec_id", "embedding").collect()
+    seed = [(r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in seed_rows]
+    assert objective(cb1) >= objective(seed) - 1e-9
+
+
+def test_ivf_trained_end_to_end(spark):
+    """ivf_topk(train_iters=2): Lloyd-refined codebook through the
+    broadcast-matrix assignment, end to end — deterministic across
+    runs, k rows per query, and recall vs brute force stays useful at
+    nprobe=4/16 cells (training shifts cell boundaries, so exact
+    recall parity with the seed codebook is NOT guaranteed — the
+    quantization-objective improvement is pinned separately in
+    test_kmeans_codebook_deterministic_and_tightens_cells)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8)
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in similarity.brute_force_topk(q, emb, k=3).collect()}
+    trained = similarity.ivf_topk(q, emb, k=3, n_centroids=16, nprobe=4,
+                                  train_iters=2, literal_max=8)
+    rows = trained.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert len(got & bf) / len(bf) >= 0.5
+    again = sorted(tuple(r) for r in similarity.ivf_topk(
+        q, emb, k=3, n_centroids=16, nprobe=4, train_iters=2,
+        literal_max=8).collect())
+    assert again == sorted(tuple(r) for r in rows)
