@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from sparkjesse import dataset_checks as dc
 from sparkjesse import dedup, similarity, textops
+from sparkjesse import multimodal as mm
 from sparkjesse.engine import ValidationEngine
 from sparkjesse.errors import DRAFT3
 
@@ -352,6 +353,22 @@ def _dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     max_hamming=3)
 
 
+def _dd_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-fingerprint near-pairs: 256-bit SimHash drawn from TWO md5
+    streams (dedup.simhash_banded multi-digest path), 8×32-bit
+    pigeonhole bands — the configuration the 64-bit docstring promises
+    for 10^12-doc corpora, where 2^16 band keys would mega-bucket."""
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), bits=256,
+                                    max_hamming=7)
+
+
+def _dd_para(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup: 8-token windows, md5 groupBy —
+    boilerplate paragraphs repeated across otherwise-unique docs."""
+    return dedup.paragraph_duplicate_groups(_docs(spark, sf_dir),
+                                            para_tokens=8)
+
+
 def _dd_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _docs(spark, sf_dir).where(F.col("doc_id") < 40)
     pairs = (df.alias("a").select(F.col("doc_id").alias("id_a"))
@@ -365,6 +382,39 @@ def _dd_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the self-join is an equijoin on the 4-bit hyperplane bucket."""
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
     return dedup.embedding_near_duplicates(emb, threshold=0.30)
+
+
+# -- multimodal (binary columns; deterministic synthetic codec) -------------
+
+MM_N, MM_SEED = 400, 7  # fixture size/seed shared by query and oracle
+
+
+def _mm_media(spark: SparkSession) -> DataFrame:
+    return mm.synth_media(spark, MM_N, seed=MM_SEED)
+
+
+def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode through the Arrow-batched mapInPandas path:
+    (width, height) parsed from the struct-packed header, md5 checksum
+    over the full payload hex. The oracle reconstructs every blob byte
+    in SQL, so the batch plumbing is hash-pinned end to end."""
+    return mm.decode_media(_mm_media(spark))
+
+
+def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary → fixed-width feature vectors (pandas UDF); rounded to 6
+    decimals as doubles for cross-engine value comparison."""
+    feats = mm.extract_features(_mm_media(spark), dim=16)
+    return feats.select(
+        "media_ref",
+        F.transform("features", lambda x: F.round(x.cast("double"), 6))
+        .alias("features"))
+
+
+def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan for the video rows (expression-only
+    sequence + posexplode; no Python in the plan)."""
+    return mm.frame_sample_plan(_mm_media(spark), fps=1.0)
 
 
 # -- similarity search ------------------------------------------------------
@@ -453,8 +503,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash": _dd_minhash,
         "dd_simhash": _dd_simhash,
         "dd_simhash_pairs": _dd_simhash_pairs,
+        "dd_simhash_wide": _dd_simhash_wide,
+        "dd_para": _dd_para,
         "dd_jaccard": _dd_jaccard,
         "dd_embed": _dd_embed,
+        "mm_decode": _mm_decode,
+        "mm_features": _mm_features,
+        "mm_frames": _mm_frames,
         "sim_topk": _sim_topk,
         "sim_ann": _sim_ann,
         "sim_ivf": _sim_ivf,
@@ -523,17 +578,25 @@ SELECT doc_id, ({fp})::BIGINT AS simhash FROM v
 """
 
 
-def _simhash_pairs_sql(bits: int = 64, max_hamming: int = 3) -> str:
-    """Banded-SimHash near pairs: same 4×16-bit pigeonhole pipeline as
-    ``dedup.simhash_near_pairs`` (band equijoin + hamming verify)."""
-    bands = max_hamming + 1
+def _simhash_pairs_sql(bits: int = 64, max_hamming: int = 3,
+                       bands: int | None = None) -> str:
+    """Banded-SimHash near pairs: same pigeonhole pipeline as
+    ``dedup.simhash_near_pairs`` (band equijoin + hamming verify).
+    bits > 128 read nibbles past position 32 from the concatenated
+    extra md5 streams (``md5('{d}:' || tok)``), mirroring
+    ``dedup.simhash_banded``'s multi-digest fold."""
+    if bands is None:
+        bands = max_hamming + 1
     band_bits = bits // bands
+    n_digests = (bits // 4 + 31) // 32
     votes = []
     for j in range(bits):
         nib = (f"(strpos('0123456789abcdef',"
                f" substr(dg, {j // 4 + 1}, 1)) - 1)")
         votes.append(f"sum(CASE WHEN (({nib} >> {j % 4}) & 1) = 1"
                      f" THEN 1 ELSE -1 END) AS s{j}")
+    dg = " || ".join(["md5(tok)"] + [f"md5('{d}:' || tok)"
+                                     for d in range(1, n_digests)])
     band_exprs = []
     for b in range(bands):
         bits_sum = " + ".join(
@@ -551,7 +614,7 @@ def _simhash_pairs_sql(bits: int = 64, max_hamming: int = 3) -> str:
 WITH t AS (SELECT doc_id,
              unnest(list_distinct(string_split(text, ' '))) AS tok
            FROM documents),
-d AS (SELECT doc_id, md5(tok) AS dg FROM t),
+d AS (SELECT doc_id, {dg} AS dg FROM t),
 v AS (SELECT doc_id, {', '.join(votes)} FROM d GROUP BY doc_id),
 f AS (SELECT doc_id, {', '.join(band_exprs)} FROM v),
 bands AS ({band_rows}),
@@ -583,6 +646,35 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
+
+
+def _mm_hex_sql() -> str:
+    """Blob hex for synthetic media id ``i`` (seed MM_SEED, 256-byte
+    payload): the exact bytes ``multimodal.synth_media`` packs — magic,
+    <BHHI little-endian header, md5-digest payload repeated 16×."""
+    def le(expr: str, nbytes: int) -> str:  # little-endian hex
+        return " || ".join(
+            f"lpad(lower(to_hex(({expr}) // {256 ** k} % 256)), 2, '0')"
+            for k in range(nbytes))
+    return ("'534a4d31' || " + le("i % 3", 1) + " || "
+            + le("16 + i % 64", 2) + " || " + le("16 + (i*7) % 64", 2)
+            + " || " + le("1000 + (i % 60)*1000", 4)
+            + f" || repeat(md5('{MM_SEED}:' || i), 16)")
+
+
+def _mm_feature_expr() -> str:
+    """Feature ``k`` (0-based) from the doubled sha256 hex ``hx2``:
+    little-endian uint32 at byte 4k, scaled to [-1, 1) through float32
+    — the same math as ``multimodal.extract_features``."""
+    def nib(pos: str) -> str:
+        return (f"(strpos('0123456789abcdef',"
+                f" substr(hx2, ({pos})::INT, 1)) - 1)")
+    u32 = " + ".join(
+        f"{256 ** byte} * ({nib(f'8*k+{2 * byte + 1}')}*16"
+        f" + {nib(f'8*k+{2 * byte + 2}')})"
+        for byte in range(4))
+    return (f"round(((({u32})::DOUBLE / 4294967296) * 2.0 - 1.0)"
+            f"::FLOAT::DOUBLE, 6)")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -809,6 +901,48 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
         "dd_minhash": _minhash_sql(4, 2),
         "dd_simhash": _simhash_sql(16),
         "dd_simhash_pairs": _simhash_pairs_sql(64, 3),
+        "dd_simhash_wide": _simhash_pairs_sql(256, 7),
+        "dd_para": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+p AS (SELECT doc_id,
+        unnest([{{'idx': i, 'para': array_to_string(
+                   list_slice(toks, i*8 + 1, i*8 + 8), ' ')}}
+                FOR i IN range(0, ((len(toks) + 7) // 8)::INT)]) AS pp
+      FROM t),
+e AS (SELECT doc_id, pp.idx AS para_idx, md5(pp.para) AS para_key FROM p),
+g AS (SELECT para_key, count(*)::BIGINT AS group_size,
+             count(DISTINCT doc_id)::BIGINT AS n_docs,
+             min(doc_id * 1048576 + para_idx) AS enc
+      FROM e GROUP BY para_key HAVING count(*) > 1)
+SELECT para_key, group_size, n_docs,
+       (enc // 1048576)::BIGINT AS keep_doc,
+       (enc % 1048576)::INT AS keep_para_idx
+FROM g
+""",
+        "mm_decode": f"""
+WITH g AS (SELECT range AS i FROM range(0, {MM_N})),
+b AS (SELECT i, {_mm_hex_sql()} AS hx FROM g)
+SELECT 'm' || i AS media_ref, (16 + i % 64)::INT AS width,
+       (16 + (i*7) % 64)::INT AS height,
+       octet_length(unhex(hx))::INT AS n_bytes,
+       md5(hx) AS checksum
+FROM b
+""",
+        "mm_features": f"""
+WITH g AS (SELECT range AS i FROM range(0, {MM_N})),
+b AS (SELECT i, {_mm_hex_sql()} AS hx FROM g),
+s AS (SELECT i, repeat(sha256(hx), 2) AS hx2 FROM b)
+SELECT 'm' || i AS media_ref,
+       [{_mm_feature_expr()} FOR k IN range(0, 16)] AS features
+FROM s
+""",
+        "mm_frames": f"""
+WITH g AS (SELECT range AS i FROM range(0, {MM_N}) WHERE range % 3 = 2),
+f AS (SELECT i, unnest(range(0, (1 + i % 60)::BIGINT)) AS k FROM g)
+SELECT 'm' || i AS media_ref, k::INT AS frame_idx,
+       (k * 1000)::INT AS offset_ms
+FROM f
+""",
         "dd_jaccard": f"""
 WITH s AS (SELECT doc_id, {_SHINGLES} AS sh
            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents

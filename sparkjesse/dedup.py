@@ -49,6 +49,64 @@ def exact_duplicate_groups(df: DataFrame, key: Column | str,
               .where(F.col("group_size") > 1))
 
 
+def paragraphs(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", *,
+               para_tokens: int = 8) -> DataFrame:
+    """Split documents into paragraphs — fixed, non-overlapping
+    ``para_tokens``-token windows — as (id, para_idx, para_text) rows.
+
+    Expression-only (sequence → transform → explode): row count grows
+    linearly (#docs × ~tokens/para_tokens), every row stays map-side,
+    and the (doc_id, para_idx) composite key keeps provenance so any
+    whole-doc dedup operator can run at paragraph granularity
+    downstream (the standard training-data need beyond whole-doc
+    dedup: boilerplate paragraphs repeat across otherwise-unique
+    pages). Token windows rather than delimiter splits because the
+    window is deterministic on any corpus — a real pipeline would
+    first normalize real paragraph breaks to a delimiter and split on
+    it with the same plan shape."""
+    toks = tokens_col(text_col)
+    n_paras = F.ceil(F.size(toks) / F.lit(para_tokens)).cast("int")
+    para = F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("para_idx"),
+            F.array_join(
+                F.slice(toks, i * para_tokens + 1, para_tokens),
+                " ").alias("para_text")))
+    return (df.select(F.col(id_col), F.explode(para).alias("p"))
+              .select(F.col(id_col), F.col("p.para_idx").alias("para_idx"),
+                      F.col("p.para_text").alias("para_text")))
+
+
+def paragraph_duplicate_groups(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", *,
+                               para_tokens: int = 8) -> DataFrame:
+    """Exact paragraph-level dedup: md5 each paragraph window and
+    group — one row per paragraph repeated >1 time, with group size,
+    how many distinct docs it spans, and the canonical keeper
+    (lexicographically-min (doc_id, para_idx)). Same scale shape as
+    ``exact_duplicate_groups``: the only shuffle is the hash groupBy
+    (map-side partials; shuffle volume = #distinct paragraphs)."""
+    p = paragraphs(df, text_col, id_col, para_tokens=para_tokens)
+    # lexicographic-min (doc_id, para_idx) as ONE min over an encoded
+    # long — a plain associative agg (map-side combinable) whose
+    # semantics are identical in any ANSI engine, vs min_by/struct
+    # ordering which is engine-defined. para_idx < 2^20 (a 8M-token
+    # doc) and doc_id < 2^43 keep the encoding exact.
+    enc = F.min(F.col(id_col) * F.lit(1 << 20) + F.col("para_idx"))
+    return (p.groupBy(F.md5("para_text").alias("para_key"))
+             .agg(F.count(F.lit(1)).alias("group_size"),
+                  F.count_distinct(F.col(id_col)).alias("n_docs"),
+                  enc.alias("__enc__"))
+             .where(F.col("group_size") > 1)
+             .select("para_key", "group_size", "n_docs",
+                     F.floor(F.col("__enc__") / F.lit(1 << 20))
+                     .alias("keep_doc"),
+                     (F.col("__enc__") % F.lit(1 << 20)).cast("int")
+                     .alias("keep_para_idx")))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -172,12 +230,20 @@ def simhash_banded(df: DataFrame, text_col: str = "text",
     literal lookup table turns each hex nibble into its 4 ±1 votes —
     one nibble extraction per 4 bits instead of four. No explode, no
     groupBy: the operator stays map-side however big the table, and
-    per-band integers never overflow a signed long."""
+    per-band integers never overflow a signed long.
+
+    ``bits > 128`` (one md5 is 32 nibbles) draws extra bits from
+    INDEPENDENT md5 streams — stream ``d`` hashes ``'{d}:' + token``
+    (stream 0 stays the bare ``md5(token)`` so every ≤128-bit
+    fingerprint, and its oracle, is unchanged) — concatenated into one
+    hex string the nibble walk reads straight through. At 10^12 docs
+    this is how banding keys stay selective: 256-bit fingerprints in 8
+    bands give 2^32 bucket keys per band instead of 2^16."""
     assert bits % bands == 0 and bits % 4 == 0
-    assert bits <= 128  # md5 has 32 hex nibbles
     band_bits = bits // bands
     assert band_bits <= 62
     positions = bits // 4
+    n_digests = (positions + 31) // 32
     # vote_lut[n] = the 4 ±1 votes encoded by nibble value n (bit k of
     # n votes +1); indexed 1-based by instr's return (instr(HEX, c) =
     # nibble value + 1, so no off-by-one arithmetic in the hot path)
@@ -186,7 +252,10 @@ def simhash_banded(df: DataFrame, text_col: str = "text",
         for n in range(16)])
 
     def token_votes(tok: Column) -> Column:
-        digest = F.md5(tok)
+        digest = F.concat(
+            F.md5(tok),
+            *[F.md5(F.concat(F.lit(f"{d}:"), tok))
+              for d in range(1, n_digests)])
         return F.flatten(F.transform(
             F.sequence(F.lit(1), F.lit(positions)),
             lambda p: F.element_at(
@@ -225,9 +294,12 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     lambdas (carrying both fingerprints, so hamming verification is
     inline — no join back to the fingerprint table) → distinct.
 
-    At 10^12 docs, grow ``bits`` (e.g. 128/256 via multiple md5
-    streams) so buckets stay small; the pigeonhole guarantee only
-    needs ``bands = max_hamming + 1`` regardless of ``bits``."""
+    At 10^12 docs, grow ``bits`` so buckets stay small (>128 bits
+    draws from multiple md5 streams — see ``simhash_banded``); the
+    pigeonhole guarantee needs only ``bands >= max_hamming + 1``
+    regardless of ``bits``, so e.g. ``bits=256, bands=8`` keeps every
+    band key inside a signed long while any ≤3-bit-different pair
+    still agrees on ≥5 bands."""
     if bands is None:
         bands = max_hamming + 1
     fps = simhash_banded(df, text_col, id_col, bits=bits, bands=bands)

@@ -112,10 +112,14 @@ def decode_media(df: DataFrame, *, strict: bool = False) -> DataFrame:
                     _, w, h, _dur = struct.unpack("<BHHI", b[4:13])
                 else:  # unknown container — metadata only
                     w = h = -1
+                # checksum over the LOWERCASE HEX of the payload: a
+                # byte-order-faithful digest of every byte that any
+                # engine with a string md5 reproduces bit-for-bit (the
+                # DuckDB conformance twin's md5 is VARCHAR-only)
                 rows.append({
                     "media_ref": ref, "width": int(w), "height": int(h),
                     "n_bytes": len(b),
-                    "checksum": hashlib.md5(b).hexdigest(),
+                    "checksum": hashlib.md5(b.hex().encode()).hexdigest(),
                 })
             yield pd.DataFrame(rows)
 
@@ -135,7 +139,9 @@ def extract_features(df: DataFrame, *, dim: int = 16,
     def featurize(content: pd.Series) -> pd.Series:
         out = []
         for blob in content:
-            d = hashlib.sha256(bytes(blob)).digest()
+            # digest of the hex encoding (not raw bytes) so the
+            # cross-engine oracle can reproduce it — see decode_media
+            d = hashlib.sha256(bytes(blob).hex().encode()).digest()
             raw = (d * (dim * 4 // len(d) + 1))[:dim * 4]
             v = np.frombuffer(raw, dtype=np.uint32).astype(np.float64)
             out.append(((v / 2**32) * 2.0 - 1.0).astype(np.float32))

@@ -385,3 +385,105 @@ def test_ivf_trained_end_to_end(spark):
         q, emb, k=3, n_centroids=16, nprobe=4, train_iters=2,
         literal_max=8).collect())
     assert again == sorted(tuple(r) for r in rows)
+
+
+# -- paragraph-level dedup ---------------------------------------------------
+
+def test_paragraphs_windows_and_provenance(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g h i j")],
+                               ["doc_id", "text"])
+    rows = sorted(
+        (r["doc_id"], r["para_idx"], r["para_text"])
+        for r in dedup.paragraphs(df, para_tokens=4).collect())
+    assert rows == [(1, 0, "a b c d"), (1, 1, "e f g h"), (1, 2, "i j")]
+
+
+def test_paragraph_duplicate_groups(spark):
+    boiler = "subscribe to our newsletter for updates every single day"
+    rep = "copy copy copy copy copy copy copy copy"  # one 8-token window
+    rows = [
+        (1, boiler + " unique tail one two three four five six"),
+        (2, boiler + " other ending seven eight nine ten eleven twelve"),
+        (3, "entirely different document with no shared windows at all"),
+        (4, rep + " " + rep),  # intra-doc repeat
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    groups = {r["keep_doc"]: r for r in
+              dedup.paragraph_duplicate_groups(df, para_tokens=8).collect()}
+    # boilerplate window shared across docs 1 and 2 at para_idx 0
+    g = groups[1]
+    assert (g["group_size"], g["n_docs"], g["keep_para_idx"]) == (2, 2, 0)
+    # intra-doc repeat: doc 4 holds both copies
+    g4 = groups[4]
+    assert (g4["group_size"], g4["n_docs"], g4["keep_para_idx"]) == (2, 1, 0)
+    assert len(groups) == 2  # doc 3 contributes nothing
+
+
+# -- multi-digest (>128-bit) SimHash ----------------------------------------
+
+def _py_simhash_bands(text: str, bits: int, bands: int) -> tuple:
+    """Reference reimplementation of simhash_banded's vote math."""
+    import hashlib
+    n_digests = (bits // 4 + 31) // 32
+    votes = [0] * bits
+    for tok in dict.fromkeys(text.split(" ")):
+        hx = hashlib.md5(tok.encode()).hexdigest() + "".join(
+            hashlib.md5(f"{d}:{tok}".encode()).hexdigest()
+            for d in range(1, n_digests))
+        for j in range(bits):
+            nib = int(hx[j // 4], 16)
+            votes[j] += 1 if (nib >> (j % 4)) & 1 else -1
+    w = bits // bands
+    out = []
+    for b in range(bands):
+        val = 0
+        for k in range(w):
+            if votes[b * w + k] > 0:
+                val += 1 << k
+        out.append(val)
+    return tuple(out)
+
+
+def test_simhash_multi_digest_python_parity(near_dup_docs):
+    got = {r["doc_id"]: tuple(r[f"band{b}"] for b in range(8))
+           for r in dedup.simhash_banded(near_dup_docs, bits=256,
+                                         bands=8).collect()}
+    for doc_id, text in [(r["doc_id"], r["text"])
+                         for r in near_dup_docs.collect()]:
+        assert got[doc_id] == _py_simhash_bands(text, 256, 8), doc_id
+
+
+def test_simhash_multi_digest_extends_single_digest_prefix(near_dup_docs):
+    """Bits 0..127 of the 256-bit fingerprint ARE the 128-bit
+    fingerprint (stream 0 is the bare md5), band-for-band at equal
+    band width — growing bits never changes the bits you already had."""
+    narrow = {r["doc_id"]: tuple(r[f"band{b}"] for b in range(4))
+              for r in dedup.simhash_banded(near_dup_docs, bits=128,
+                                            bands=4).collect()}
+    wide = {r["doc_id"]: tuple(r[f"band{b}"] for b in range(8))
+            for r in dedup.simhash_banded(near_dup_docs, bits=256,
+                                          bands=8).collect()}
+    for doc_id, bs in narrow.items():
+        assert wide[doc_id][:4] == bs
+
+
+def test_simhash_wide_perfect_recall_256_bits(near_dup_docs):
+    """Pigeonhole recall at bits=256 / bands=8: every pair within
+    hamming 7 agrees exactly on >=1 of the 8 bands."""
+    max_h = 7
+    fps = {r["doc_id"]: tuple(r[f"band{b}"] for b in range(8))
+           for r in dedup.simhash_banded(near_dup_docs, bits=256,
+                                         bands=8).collect()}
+    ids = sorted(fps)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = sum(bin(x ^ y).count("1")
+                      for x, y in zip(fps[a], fps[b]))
+            if ham <= max_h:
+                expected[(a, b)] = ham
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.simhash_near_pairs(
+               near_dup_docs, bits=256, max_hamming=max_h).collect()}
+    assert got == expected
+    assert got.get((1, 11)) == 0
