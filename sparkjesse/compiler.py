@@ -106,8 +106,10 @@ class CompileContext:
 #   excluded on purpose: \v (char in Python, whitespace CLASS in Java 8+),
 #   \e (Java-only), \0 / octal (parsing differs), \A \z \Z \G (anchors
 #   with divergent end-of-input semantics), \p \x \u \Q \k (syntax or
-#   property tables differ), digits (backreferences)
-_SAFE_ESCAPES = set("dDwWsSbBnrtfa\\.^$*+?()[]{}|/-, '\"<>=!:;#@%&~`_")
+#   property tables differ), digits (backreferences), \B (found by the
+#   differential fuzz suite: on the EMPTY string Java's \B matches at
+#   position 0 while Python re.search(r'\B', '') returns None)
+_SAFE_ESCAPES = set("dDwWsSbnrtfa\\.^$*+?()[]{}|/-, '\"<>=!:;#@%&~`_")
 
 # Vetted patterns are handed to Java `rlike` with this flag prefix.
 # (?d) UNIX_LINES: Java's bare `.`, `^`, `$` otherwise recognize \r,
