@@ -310,6 +310,18 @@ def _ds_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dc.drift_frame(cur, base, "value", lo=0.0, hi=500.0, buckets=20)
 
 
+def _ds_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group two-sample KS on RAW samples (Arrow-batched
+    applyInPandas; the per-group complement to the bucketed
+    ds_drift): click vs view value distributions per user cohort."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull())
+    grp = (F.col("user_id") % 4).alias("grp")
+    cur = ev.where(F.col("event_type") == "click").select(grp, "value")
+    base = ev.where(F.col("event_type") == "view").select(grp, "value")
+    return dc.exact_ks_by_group(cur, base, "value", ["grp"])
+
+
 # -- text analysis ----------------------------------------------------------
 
 def _txt_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_orphans": _ds_orphans,
         "ds_histogram": _ds_histogram,
         "ds_drift": _ds_drift,
+        "ds_ks_exact": _ds_ks_exact,
         "txt_tokens": _txt_tokens,
         "txt_quality": _txt_quality,
         "txt_langid": _txt_langid,
@@ -848,6 +861,29 @@ staged AS (SELECT bucket,
 SELECT round(max(cdf_diff), 6) AS ks,
        round(arg_max(cum_psi, bucket), 6) AS psi
 FROM staged
+""",
+        "ds_ks_exact": """
+WITH e AS (SELECT user_id % 4 AS grp, value,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c
+           FROM events
+           WHERE value IS NOT NULL AND user_id IS NOT NULL
+             AND event_type IN ('click', 'view')),
+n AS (SELECT grp, sum(c)::BIGINT AS n_cur,
+             sum(1 - c)::BIGINT AS n_base
+      FROM e GROUP BY grp),
+d AS (SELECT grp, value AS x, sum(c) AS cnt_cur, sum(1 - c) AS cnt_base
+      FROM e GROUP BY grp, value),
+w AS (SELECT grp, x,
+        sum(cnt_cur) OVER (PARTITION BY grp ORDER BY x) AS cum_cur,
+        sum(cnt_base) OVER (PARTITION BY grp ORDER BY x) AS cum_base
+      FROM d)
+SELECT w.grp, round(max(abs(cum_cur::DOUBLE / n.n_cur::DOUBLE
+                            - cum_base::DOUBLE / n.n_base::DOUBLE)), 6)
+         AS ks,
+       n.n_cur, n.n_base
+FROM w JOIN n ON w.grp = n.grp
+WHERE n.n_cur > 0 AND n.n_base > 0
+GROUP BY w.grp, n.n_cur, n.n_base
 """,
         "txt_tokens": f"""
 SELECT doc_id, len(toks)::INT AS n_tokens,

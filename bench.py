@@ -31,8 +31,9 @@ from sparkjesse.partitioning import detect_hot_keys  # noqa: E402
 BENCH_QUERIES = [
     "v_summary", "v_violations", "v_span_violations", "kw_uniqueitems",
     "ds_stats", "ds_duplicates", "ds_histogram", "ds_drift",
-    "txt_quality", "txt_langid", "dd_exact", "dd_minhash", "dd_simhash",
-    "dd_simhash_pairs", "sim_topk", "sim_ann", "kvc_agg",
+    "ds_ks_exact", "txt_quality", "txt_langid", "dd_exact", "dd_minhash",
+    "dd_simhash", "dd_simhash_pairs", "dd_simhash_wide", "dd_para",
+    "sim_topk", "sim_ann", "kvc_agg",
 ]
 
 # flagship interleaved-doc count per sf unit (sf0.1 → 1M docs): sized
@@ -99,8 +100,8 @@ def main() -> None:
     timings["flagship_interleaved_validate"] = round(flagship_sec, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
-        "metric": "sparkjesse bench: 17 driver queries + interleaved "
+    out = {
+        "metric": "sparkjesse bench: 20 driver queries + interleaved "
                   "draft4 validation",
         "value": total,
         "unit": "sec",
@@ -110,7 +111,30 @@ def main() -> None:
         "flagship_fail": int(summary["fail"]),
         "flagship_docs_per_sec": round(summary["docs"] / flagship_sec, 1),
         "cpus": cpus,
-    }))
+    }
+    # steady-state comparison: the flagship region at bench scale is
+    # partly fixed-overhead-bound (small fixture, one trial, shared
+    # JVM), so report the scaling campaign's clean-median per-core
+    # throughput alongside it — that is the steady-state number
+    # (32M docs, fresh JVMs, 10 interleaved trials; BASELINE.md
+    # explains the gap and the campaign protocol)
+    sc_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SCALING.json")
+    if os.path.exists(sc_path):
+        with open(sc_path) as f:
+            sc = json.load(f)
+        hi = sc["4N"]
+        per_core = hi["clean_median_docs_per_sec"] / hi["cores"]
+        out["steady_state_docs_per_sec_per_core"] = round(per_core, 1)
+        out["steady_state_docs_per_sec_at_bench_cpus"] = round(
+            per_core * cpus, 1)
+        out["steady_state_source"] = (
+            f"BENCH_SCALING.json clean-median at {hi['cores']} cores, "
+            f"{sc['n_docs']} docs, fresh-JVM trials")
+        out["flagship_vs_steady_state"] = round(
+            out["flagship_docs_per_sec"]
+            / out["steady_state_docs_per_sec_at_bench_cpus"], 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -5,8 +5,10 @@ referential integrity, and KS/PSI distribution drift.
 All expression/aggregate-only: partial aggregation is map-side, HLL via
 ``approx_count_distinct`` sketches, referential checks via broadcast
 left-anti joins, drift via fixed-bucket histograms + window cumulative
-sums. No Python UDFs anywhere in this module — every check scales to the
-10^12-row design point by construction.
+sums — every check scales to the 10^12-row design point by
+construction. The ONE Arrow-batched exception is ``exact_ks_by_group``
+(SURVEY §4.2's optional exact-KS-on-raw-samples variant), whose
+per-group in-memory sort is the contract, not a shortcut.
 """
 
 from __future__ import annotations
@@ -209,6 +211,60 @@ def drift_frame(cur: DataFrame, base: DataFrame, value: Column | str, *,
     return staged.agg(
         F.round(F.max("cdf_diff"), 6).alias("ks"),
         F.round(F.max_by("cum_psi", "bucket"), 6).alias("psi"))
+
+
+def exact_ks_by_group(cur: DataFrame, base: DataFrame,
+                      value: Column | str,
+                      group_cols: Sequence[str], *,
+                      round_to: int = 6) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov per group, on raw samples
+    (not bucketed): ``(group_cols..., ks, n_cur, n_base)``.
+
+    The bucketed ``ks_from_histograms`` is the 10^12-row answer for a
+    GLOBAL statistic (exact global KS needs one total ordering of the
+    data). This is the complementary per-group contract from SURVEY
+    §4.2: each group (an Iceberg partition, a language, a cohort) is
+    sorted in memory inside one Arrow-batched ``applyInPandas`` task,
+    so the operator scales with #groups while the statistic stays
+    exact within each. Groups present on only one side are omitted
+    (no distribution to compare).
+
+    Determinism: D folds as |cum_cur/n_cur − cum_base/n_base| over
+    distinct values in ascending order — one divide each, subtract,
+    abs, max, HALF_UP round — the identical op sequence a SQL window
+    twin performs, so results are bit-reproducible cross-engine."""
+    import numpy as np
+    import pandas as pd
+
+    v = F.col(value) if isinstance(value, str) else value
+    gcols = list(group_cols)
+    u = (cur.select(*gcols, v.alias("__x__"), F.lit(1).alias("__cur__"))
+            .where(F.col("__x__").isNotNull())
+            .unionByName(
+                base.select(*gcols, v.alias("__x__"),
+                            F.lit(0).alias("__cur__"))
+                    .where(F.col("__x__").isNotNull())))
+    gtypes = {f.name: f.dataType.simpleString() for f in u.schema.fields}
+    out_schema = ", ".join([f"{c} {gtypes[c]}" for c in gcols]
+                           + ["ks double", "n_cur bigint",
+                              "n_base bigint"])
+
+    def ks_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["__x__"].to_numpy(dtype=np.float64)
+        is_cur = pdf["__cur__"].to_numpy() == 1
+        a = np.sort(x[is_cur])
+        b = np.sort(x[~is_cur])
+        cols = gcols + ["ks", "n_cur", "n_base"]
+        if not len(a) or not len(b):
+            return pd.DataFrame(columns=cols)
+        xs = np.unique(x)
+        d = np.abs(np.searchsorted(a, xs, side="right") / len(a)
+                   - np.searchsorted(b, xs, side="right") / len(b)).max()
+        d = np.floor(d * 10.0 ** round_to + 0.5) / 10.0 ** round_to
+        return pd.DataFrame([list(key) + [float(d), len(a), len(b)]],
+                            columns=cols)
+
+    return u.groupBy(*gcols).applyInPandas(ks_fn, out_schema)
 
 
 def drift_report(cur: DataFrame, base: DataFrame, value: Column | str, *,

@@ -83,3 +83,32 @@ def test_ks_matches_closed_form(spark):
     b = spark.range(1000).select((F.col("id") % 50).alias("v"))
     rep = dc.drift_report(a, b, "v", lo=0, hi=100, buckets=20)
     assert rep["ks"] == pytest.approx(0.5, abs=0.02)
+
+
+def test_exact_ks_by_group(spark):
+    cur = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 3)]
+        + [("b", float(v)) for v in (1, 2, 3)]
+        + [("only_cur", 1.0)], ["grp", "value"])
+    base = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 3)]      # identical to cur
+        + [("b", float(v)) for v in (2, 3, 4)],   # shifted by one
+        ["grp", "value"])
+    from sparkjesse.dataset_checks import exact_ks_by_group
+    rows = {r["grp"]: r for r in
+            exact_ks_by_group(cur, base, "value", ["grp"]).collect()}
+    assert rows["a"]["ks"] == 0.0
+    # D = max|F_cur - F_base| over {1,2,3,4} = 1/3
+    assert rows["b"]["ks"] == 0.333333
+    assert (rows["b"]["n_cur"], rows["b"]["n_base"]) == (3, 3)
+    assert "only_cur" not in rows  # one-sided groups omitted
+
+
+def test_exact_ks_disjoint_supports_is_one(spark):
+    cur = spark.createDataFrame([("g", float(v)) for v in (1, 2)],
+                                ["grp", "value"])
+    base = spark.createDataFrame([("g", float(v)) for v in (10, 11)],
+                                 ["grp", "value"])
+    from sparkjesse.dataset_checks import exact_ks_by_group
+    row = exact_ks_by_group(cur, base, "value", ["grp"]).collect()[0]
+    assert row["ks"] == 1.0
