@@ -381,6 +381,16 @@ def _dd_para(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             para_tokens=8)
 
 
+def _dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs → connected components: every doc in any
+    pair labeled with its component's min id (the canonical keeper).
+    Iterative min-label propagation; the oracle reaches the same
+    fixpoint with a recursive CTE."""
+    pairs = dedup.lsh_candidate_pairs(_docs(spark, sf_dir), bands=4,
+                                      rows_per_band=2)
+    return dedup.duplicate_clusters(pairs)
+
+
 def _dd_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _docs(spark, sf_dir).where(F.col("doc_id") < 40)
     pairs = (df.alias("a").select(F.col("doc_id").alias("id_a"))
@@ -518,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash_pairs": _dd_simhash_pairs,
         "dd_simhash_wide": _dd_simhash_wide,
         "dd_para": _dd_para,
+        "dd_clusters": _dd_clusters,
         "dd_jaccard": _dd_jaccard,
         "dd_embed": _dd_embed,
         "mm_decode": _mm_decode,
@@ -639,7 +650,9 @@ SELECT id_a, id_b, hamming FROM p WHERE hamming <= {max_hamming}
 """
 
 
-def _minhash_sql(bands: int = 4, rows_per_band: int = 2) -> str:
+def _minhash_parts(bands: int = 4, rows_per_band: int = 2) -> tuple:
+    """(CTE list, pair-select) so the pair pipeline can embed in other
+    oracles (e.g. the recursive-CTE cluster twin)."""
     k = bands * rows_per_band
     sigs = ", ".join(
         f"list_min(list_transform(sh, x -> md5('{i}:' || x))) AS mh{i}"
@@ -650,14 +663,38 @@ def _minhash_sql(bands: int = 4, rows_per_band: int = 2) -> str:
                   for r in range(1, rows_per_band))
         + ") AS band_key FROM m"
         for b in range(bands))
-    return f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ctes = f"""t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
 m AS (SELECT doc_id, {sigs} FROM s),
-bands AS ({band_rows})
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+bands AS ({band_rows})"""
+    sel = """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
+    return ctes, sel
+
+
+def _minhash_sql(bands: int = 4, rows_per_band: int = 2) -> str:
+    ctes, sel = _minhash_parts(bands, rows_per_band)
+    return f"\nWITH {ctes}\n{sel}\n"
+
+
+def _clusters_sql(bands: int = 4, rows_per_band: int = 2) -> str:
+    """Connected components over the LSH pairs as a recursive CTE:
+    labels flood along symmetrized edges until fixpoint (UNION dedup
+    terminates the recursion); min per node = component min — the same
+    fixpoint dedup.duplicate_clusters reaches by min-label rounds."""
+    ctes, sel = _minhash_parts(bands, rows_per_band)
+    return f"""
+WITH RECURSIVE {ctes},
+p AS ({sel}),
+edges AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION SELECT id_b AS u, id_a AS v FROM p),
+reach(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node)
+SELECT node AS doc_id, min(lbl)::BIGINT AS cluster_id
+FROM reach GROUP BY node
 """
 
 
@@ -938,6 +975,7 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
         "dd_simhash": _simhash_sql(16),
         "dd_simhash_pairs": _simhash_pairs_sql(64, 3),
         "dd_simhash_wide": _simhash_pairs_sql(256, 7),
+        "dd_clusters": _clusters_sql(4, 2),
         "dd_para": f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 p AS (SELECT doc_id,

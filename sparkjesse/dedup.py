@@ -349,6 +349,62 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
+                       id_b: str = "id_b", node_col: str = "doc_id",
+                       max_iters: int = 25) -> DataFrame:
+    """Connected components over duplicate-pair edges: one row per node
+    that appears in any pair, labeled ``cluster_id`` = the smallest
+    member id of its component (the canonical keeper). This is the step
+    between near-pair detection (LSH / SimHash / cosine) and actual
+    dedup: drop every doc whose id ≠ its cluster_id.
+
+    Min-label propagation: round ``r`` sets
+    ``l(v) = min(l(v), min over neighbors l(u))`` — per round ONE
+    edges⋈labels equijoin plus ONE min-groupBy, so shuffle volume stays
+    linear in |E| and the labels frame (|V| rows) is the only iterated
+    state. Rounds needed = component diameter; dedup graphs are cliques
+    (identical docs — diameter 1) and short near-dup chains, so
+    convergence is typically ≤ 5 rounds — the loop stops early via a
+    monotone checksum (labels only ever decrease) and
+    ``localCheckpoint`` truncates lineage each round so round R never
+    replays rounds 1..R-1. For adversarial million-hop chain graphs
+    swap in star-contraction (alternating large-star/small-star,
+    O(log²) rounds) — same join/groupBy primitives, not needed for
+    dedup workloads.
+
+    Iterative ⇒ not expressible as one SQL statement; the driver twin
+    uses a recursive CTE (exact same fixpoint on the small oracle
+    corpus). Singleton docs (in no pair) are absent by construction —
+    anti-join your corpus against the output to keep them."""
+    sym = pairs.select(F.col(id_a).cast("long").alias("u"),
+                       F.col(id_b).cast("long").alias("v"))
+    edges = (sym.union(sym.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+                .repartition("u").localCheckpoint())
+    labels = (edges.groupBy("u").agg(F.min("v").alias("__mn__"))
+                   .select("u", F.least("u", "__mn__").alias("label"))
+                   .localCheckpoint())
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        prop = (edges.join(labels, on="u")
+                     .select(F.col("v").alias("node"), F.col("label")))
+        labels = (labels.select(F.col("u").alias("node"), "label")
+                        .union(prop)
+                        .groupBy("node").agg(F.min("label").alias("label"))
+                        .withColumnRenamed("node", "u")
+                        .localCheckpoint())
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(F.col("u").alias(node_col),
+                         F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard verification
 # ---------------------------------------------------------------------------
 

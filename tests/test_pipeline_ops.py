@@ -487,3 +487,33 @@ def test_simhash_wide_perfect_recall_256_bits(near_dup_docs):
                near_dup_docs, bits=256, max_hamming=max_h).collect()}
     assert got == expected
     assert got.get((1, 11)) == 0
+
+
+# -- duplicate clusters (connected components) --------------------------------
+
+def test_duplicate_clusters_chain_and_cliques(spark):
+    # chain 0-1-2-3-4 (diameter 4) + clique {10,11,12} + pair {20,21}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4),
+         (10, 11), (10, 12), (11, 12),
+         (20, 21)], ["id_a", "id_b"])
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_duplicate_clusters_end_to_end_keep_list(near_dup_docs):
+    """pairs → components → keep-list: the full dedup pipeline."""
+    from pyspark.sql import functions as F
+    pairs = dedup.lsh_candidate_pairs(near_dup_docs, bands=8,
+                                      rows_per_band=1)
+    clusters = dedup.duplicate_clusters(pairs)
+    # docs 0/10 and 1/11 are near/exact dups; keepers are 0 and 1
+    got = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert got[10] == 0 and got[11] == 1
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id"))
+    kept = (near_dup_docs.join(drop, on="doc_id", how="left_anti")
+            .select("doc_id"))
+    assert {r["doc_id"] for r in kept.collect()} == {0, 1, 2, 3}
