@@ -340,6 +340,12 @@ def _txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.fingerprints(_docs(spark, sf_dir))
 
 
+def _txt_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters per language: top-10 tokens by frequency
+    (map-side-combined counts, per-group window rank)."""
+    return textops.top_tokens(_docs(spark, sf_dir), k=10, by="lang")
+
+
 # -- deduplication ----------------------------------------------------------
 
 def _dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_quality": _txt_quality,
         "txt_langid": _txt_langid,
         "txt_fingerprint": _txt_fingerprint,
+        "txt_top_tokens": _txt_top_tokens,
         "dd_exact": _dd_exact,
         "dd_minhash": _dd_minhash,
         "dd_simhash": _dd_simhash,
@@ -964,6 +971,16 @@ SELECT doc_id, md5(text) AS content_md5,
        md5(array_to_string(list_slice(toks, 1, 3), ' ')) AS prefix_md5,
        len({_SHINGLES})::INT AS n_shingles
 FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+""",
+        "txt_top_tokens": f"""
+WITH c AS (SELECT lang, tok AS token, count(*)::BIGINT AS n
+           FROM (SELECT lang, unnest({_TOKS}) AS tok FROM documents)
+           GROUP BY lang, tok),
+r AS (SELECT lang, token, n,
+        row_number() OVER (PARTITION BY lang
+                           ORDER BY n DESC, token ASC) AS rnk
+      FROM c)
+SELECT lang, token, n, rnk::INT AS rank FROM r WHERE rnk <= 10
 """,
         "dd_exact": f"""
 SELECT array_to_string(list_slice({_TOKS}, 1, 3), ' ') AS dup_key,

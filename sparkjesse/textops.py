@@ -2,11 +2,13 @@
 
 Language-ID (marker-token heuristic), quality scoring (length /
 punctuation / stopword ratios), token counting, and document
-fingerprinting — every operator is a pure Catalyst expression tree
-(``split`` / ``filter`` / ``transform`` / ``aggregate`` higher-order
-functions), so the whole module runs inside whole-stage codegen with no
-Python in the hot path and scales linearly with input partitions: there
-is not a single shuffle in this file.
+fingerprinting — every per-document operator is a pure Catalyst
+expression tree (``split`` / ``filter`` / ``transform`` / ``aggregate``
+higher-order functions), so it runs inside whole-stage codegen with no
+Python in the hot path and scales linearly with input partitions. The
+one corpus-level operator, ``top_tokens``, is the module's one shuffle
+(map-side-combined token counts + TakeOrdered top-k) — frequency is
+inherently a corpus question.
 
 Determinism contract: all hashing is ``md5`` over explicit string
 payloads, so results are reproducible across engines (the DuckDB oracle
@@ -122,6 +124,41 @@ def language_id(df: DataFrame, text_col: str = "text",
         guess.alias("lang_guess"),
     )
     return out
+
+
+def top_tokens(df: DataFrame, text_col: str = "text", *, k: int = 20,
+               by: str | None = None) -> DataFrame:
+    """Corpus heavy hitters: the ``k`` most frequent tokens, globally
+    or per ``by`` group — ``(by?, token, n, rank)``, ties broken
+    token-ascending (deterministic in any engine).
+
+    Scale shape: the explode emits one row per token occurrence, but
+    partial (map-side) aggregation collapses them to distinct
+    (group, token) pairs before the one hash shuffle. The global
+    variant then takes top-k via ``orderBy().limit(k)``, which Spark
+    executes as TakeOrderedAndProject — each partition keeps a local
+    k-heap and only #partitions × k rows merge at the driver, NO
+    global sort. The grouped variant ranks inside a window partitioned
+    by the group key (per-group data, already co-located by the agg
+    shuffle, is reused — AQE-coalesced). This module's zero-shuffle
+    claim keeps its one documented exception here: frequency is a
+    corpus-level question."""
+    groups = [F.col(by)] if by else []
+    counts = (df.select(*groups,
+                        F.explode(tokens_col(text_col)).alias("token"))
+                .groupBy(*([by] if by else []), "token")
+                .agg(F.count(F.lit(1)).alias("n")))
+    from pyspark.sql.window import Window
+    if by is None:
+        top = counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+        w = Window.orderBy(F.desc("n"), F.asc("token"))  # k rows only
+    else:
+        w = Window.partitionBy(by).orderBy(F.desc("n"), F.asc("token"))
+        top = counts
+    out = (top.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k))
+    cols = ([by] if by else []) + ["token", "n", "rank"]
+    return out.select(*cols)
 
 
 def fingerprints(df: DataFrame, text_col: str = "text",

@@ -517,3 +517,19 @@ def test_duplicate_clusters_end_to_end_keep_list(near_dup_docs):
     kept = (near_dup_docs.join(drop, on="doc_id", how="left_anti")
             .select("doc_id"))
     assert {r["doc_id"] for r in kept.collect()} == {0, 1, 2, 3}
+
+
+def test_top_tokens_global_and_grouped(spark):
+    df = spark.createDataFrame(
+        [(1, "a b b c c c", "en"), (2, "c a a", "es")],
+        ["doc_id", "text", "lang"])
+    top = {(r["token"], r["n"], r["rank"])
+           for r in textops.top_tokens(df, k=2).collect()}
+    assert top == {("c", 4, 1), ("a", 3, 2)}
+    grouped = {(r["lang"], r["rank"]): (r["token"], r["n"])
+               for r in textops.top_tokens(df, k=1, by="lang").collect()}
+    assert grouped == {("en", 1): ("c", 3), ("es", 1): ("a", 2)}
+    # global top-k must be a TakeOrdered merge, not a full sort
+    plan = (textops.top_tokens(df, k=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
