@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkjesse import dataset_checks as dc
-from sparkjesse import dedup, similarity, textops
+from sparkjesse import dedup, sampling, similarity, textops, timeops
 from sparkjesse import multimodal as mm
 from sparkjesse.engine import ValidationEngine
 from sparkjesse.errors import DRAFT3
@@ -322,6 +322,58 @@ def _ds_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dc.exact_ks_by_group(cur, base, "value", ["grp"])
 
 
+def _ts_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (30-min gap):
+    one shuffle on user_id, lag + running-sum windows over one sort."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    return timeops.sessionize(ev, "user_id", "ts", gap_minutes=30,
+                              id_col="event_id", agg_value_col="value")
+
+
+def _ts_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the customer's most recent
+    order at-or-before the event (union-tag + forward-fill window —
+    ONE shuffle, no interval explosion)."""
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull())
+          .select("event_id", "user_id", "ts"))
+    orders = (_t(spark, sf_dir, "orders")
+              .select(F.col("o_custkey").alias("user_id"),
+                      "o_orderdate", "o_orderkey", "o_totalprice"))
+    out = timeops.asof_join(ev, orders, "user_id", "ts", "o_orderdate",
+                            ["o_orderkey", "o_totalprice"])
+    return out.select("event_id", "user_id", "asof_o_orderkey",
+                      "asof_o_totalprice", "asof_lag_us")
+
+
+def _ds_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sample — md5-bucket cut,
+    zero shuffle, reproducible across cluster sizes and retries."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return sampling.stratified_sample(
+        docs, "lang", "doc_id",
+        {"en": 0.5, "es": 0.25}, default_fraction=0.1)
+
+
+def _dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing 3-gram shingles
+    with the (broadcast) benchmark slice doc_id % 97 == 0."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return dedup.decontaminate_report(corpus, bench)
+
+
+def _ds_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-prob quantiles for two numeric columns in ONE
+    aggregation pass (percentile over an array of probs; swap to
+    percentile_approx t-digest at the 10^12-row design point)."""
+    ev = _t(spark, sf_dir, "events")
+    return dc.column_quantiles(ev, ["value", "user_id"],
+                               probs=(0.25, 0.5, 0.75, 0.9))
+
+
 # -- text analysis ----------------------------------------------------------
 
 def _txt_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,6 +396,26 @@ def _txt_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus heavy hitters per language: top-10 tokens by frequency
     (map-side-combined counts, per-group window rank)."""
     return textops.top_tokens(_docs(spark, sf_dir), k=10, by="lang")
+
+
+def _txt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms (map-side-combined tf/df counts,
+    broadcast scalar N, rank over the ROUNDED score for
+    cross-engine-reproducible ordering)."""
+    return textops.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+def _txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: top-2-gram coverage and
+    duplicate-3-gram char fraction — zero-shuffle per-row folds."""
+    return textops.repetition_signals(_docs(spark, sf_dir))
+
+
+def _txt_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index with df-bounded, capped posting lists (stopword
+    mega-lists dropped BEFORE any list materializes)."""
+    return textops.inverted_index(_docs(spark, sf_dir),
+                                  max_df=400, cap=20)
 
 
 # -- deduplication ----------------------------------------------------------
@@ -524,11 +596,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_histogram": _ds_histogram,
         "ds_drift": _ds_drift,
         "ds_ks_exact": _ds_ks_exact,
+        "ds_quantiles": _ds_quantiles,
+        "ds_sample": _ds_sample,
+        "ts_sessions": _ts_sessions,
+        "ts_asof": _ts_asof,
         "txt_tokens": _txt_tokens,
         "txt_quality": _txt_quality,
         "txt_langid": _txt_langid,
         "txt_fingerprint": _txt_fingerprint,
         "txt_top_tokens": _txt_top_tokens,
+        "txt_tfidf": _txt_tfidf,
+        "txt_repetition": _txt_repetition,
+        "txt_inverted": _txt_inverted,
         "dd_exact": _dd_exact,
         "dd_minhash": _dd_minhash,
         "dd_simhash": _dd_simhash,
@@ -536,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash_wide": _dd_simhash_wide,
         "dd_para": _dd_para,
         "dd_clusters": _dd_clusters,
+        "dd_decontaminate": _dd_decontaminate,
         "dd_jaccard": _dd_jaccard,
         "dd_embed": _dd_embed,
         "mm_decode": _mm_decode,
@@ -568,6 +648,22 @@ _SHINGLES = (
     "list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')"
     " FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)])"
 )
+
+
+def _hash_bucket_sql(expr: str) -> str:
+    """sampling.hash_bucket twin: first 4 hex digits of md5 → [0,1e4).
+    DuckDB has no hex→int conv, so decode nibble-by-nibble."""
+    nib = (lambda i: f"(strpos('0123456789abcdef',"
+           f" substr(md5({expr}), {i}, 1)) - 1)")
+    return (f"(({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16"
+            f" + {nib(4)}) % 10000)")
+
+
+def _shingles_all_sql(n: int) -> str:
+    """ALL word n-gram shingles (repeats kept — repetition analysis
+    needs occurrence counts, not the distinct set)."""
+    return (f"[array_to_string(list_slice(toks, i, i + {n - 1}), ' ')"
+            f" FOR i IN range(1, greatest(len(toks) - {n - 1}, 1) + 1)]")
 
 _DOT = ("list_reduce(list_transform(range(1, 65),"
         " i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)")
@@ -929,6 +1025,83 @@ FROM w JOIN n ON w.grp = n.grp
 WHERE n.n_cur > 0 AND n.n_base > 0
 GROUP BY w.grp, n.n_cur, n.n_base
 """,
+        "ts_sessions": """
+WITH e AS (SELECT user_id, ts, value, event_id, epoch_us(ts) AS t
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+l AS (SELECT *, lag(t) OVER (PARTITION BY user_id
+                             ORDER BY t, event_id) AS prev
+      FROM e),
+s AS (SELECT *,
+        sum(CASE WHEN prev IS NULL OR t - prev > 1800000000
+            THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY t, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM l)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       count(*)::BIGINT AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       (max(t) - min(t))::BIGINT AS duration_us,
+       round(sum(value), 4) AS total_value
+FROM s GROUP BY user_id, session_idx
+""",
+        "ts_asof": """
+WITH o AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t,
+             0 AS side, NULL::BIGINT AS event_id, o_orderkey,
+             o_totalprice
+           FROM orders),
+e AS (SELECT user_id, epoch_us(ts) AS t, 1 AS side, event_id,
+        NULL::BIGINT AS o_orderkey, NULL::DOUBLE AS o_totalprice
+      FROM events WHERE user_id IS NOT NULL),
+u AS (SELECT * FROM o UNION ALL SELECT * FROM e),
+w AS (SELECT *,
+        last_value(o_orderkey IGNORE NULLS) OVER win AS a_ok,
+        last_value(o_totalprice IGNORE NULLS) OVER win AS a_tp,
+        last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+          OVER win AS a_t
+      FROM u
+      WINDOW win AS (PARTITION BY user_id
+                     ORDER BY t, side, o_orderkey ASC NULLS FIRST
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW))
+SELECT event_id, user_id, a_ok AS asof_o_orderkey,
+       a_tp AS asof_o_totalprice, (t - a_t)::BIGINT AS asof_lag_us
+FROM w WHERE side = 1
+""",
+        "ds_sample": f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, {_hash_bucket_sql("doc_id::VARCHAR")} AS b
+  FROM documents)
+WHERE b < (CASE WHEN lang = 'en' THEN 5000
+                WHEN lang = 'es' THEN 2500 ELSE 1000 END)
+""",
+        "dd_decontaminate": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (SELECT DISTINCT unnest({_SHINGLES}) AS shingle FROM t
+      WHERE doc_id % 97 = 0),
+d AS (SELECT doc_id, {_SHINGLES} AS sh FROM t WHERE doc_id % 97 <> 0),
+x AS (SELECT doc_id, len(sh)::INT AS n_shingles, unnest(sh) AS shingle
+      FROM d)
+SELECT x.doc_id, count(*)::BIGINT AS n_hit_shingles, x.n_shingles,
+       round(count(*)::DOUBLE / x.n_shingles::DOUBLE, 4) AS hit_frac,
+       min(x.shingle) AS example_shingle
+FROM x JOIN b USING (shingle)
+GROUP BY x.doc_id, x.n_shingles
+""",
+        "ds_quantiles": """
+WITH q AS (SELECT quantile_cont(value::DOUBLE,
+                    [0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS qs
+           FROM events),
+u AS (SELECT quantile_cont(user_id::DOUBLE,
+                [0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS qs
+      FROM events),
+i AS (SELECT unnest([1, 2, 3, 4]) AS i,
+             unnest([0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS prob)
+SELECT 'value' AS "column", i.prob, round(q.qs[i.i], 6) AS value
+FROM q, i
+UNION ALL
+SELECT 'user_id', i.prob, round(u.qs[i.i], 6) FROM u, i
+""",
         "txt_tokens": f"""
 SELECT doc_id, len(toks)::INT AS n_tokens,
        len(list_distinct(toks))::INT AS n_distinct,
@@ -981,6 +1154,61 @@ r AS (SELECT lang, token, n,
                            ORDER BY n DESC, token ASC) AS rnk
       FROM c)
 SELECT lang, token, n, rnk::INT AS rank FROM r WHERE rnk <= 10
+""",
+        "txt_tfidf": f"""
+WITH pairs AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM pairs GROUP BY 1, 2),
+d AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, d.df,
+        round(tf.tf::DOUBLE * ln(n.n_docs::DOUBLE / d.df::DOUBLE), 6)
+          AS tfidf
+      FROM tf JOIN d USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY tfidf DESC, term ASC) AS rk FROM s)
+SELECT doc_id, term, tf, df, tfidf, rk::INT AS rank
+FROM r WHERE rk <= 3
+""",
+        "txt_repetition": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g2 AS (SELECT doc_id, unnest({_shingles_all_sql(2)}) AS gram FROM t),
+c2 AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt
+       FROM g2 GROUP BY 1, 2),
+b2 AS (SELECT doc_id, gram, cnt,
+         row_number() OVER (PARTITION BY doc_id
+           ORDER BY cnt DESC, gram ASC) AS rn
+       FROM c2),
+tot2 AS (SELECT doc_id, sum(cnt * length(gram))::BIGINT AS tot
+         FROM c2 GROUP BY 1),
+g3 AS (SELECT doc_id, unnest({_shingles_all_sql(3)}) AS gram FROM t),
+c3 AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt
+       FROM g3 GROUP BY 1, 2),
+d3 AS (SELECT doc_id,
+         sum(CASE WHEN cnt > 1 THEN cnt * length(gram)
+             ELSE 0 END)::BIGINT AS dup,
+         sum(cnt * length(gram))::BIGINT AS tot
+       FROM c3 GROUP BY 1)
+SELECT b2.doc_id, b2.gram AS top_gram, b2.cnt AS top_gram_count,
+       (b2.cnt * length(b2.gram))::DOUBLE / tot2.tot::DOUBLE
+         AS top_ngram_char_frac,
+       d3.dup::DOUBLE / d3.tot::DOUBLE AS dup_ngram_char_frac
+FROM b2
+JOIN tot2 ON b2.doc_id = tot2.doc_id
+JOIN d3 ON b2.doc_id = d3.doc_id
+WHERE b2.rn = 1
+""",
+        "txt_inverted": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+p AS (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM t),
+d AS (SELECT token, count(*)::BIGINT AS df FROM p
+      GROUP BY 1 HAVING count(*) <= 400),
+k AS (SELECT p.token, d.df, p.doc_id,
+        row_number() OVER (PARTITION BY p.token
+          ORDER BY p.doc_id ASC) AS rn
+      FROM p JOIN d USING (token))
+SELECT token, df, list_sort(list(doc_id)) AS postings
+FROM k WHERE rn <= 20 GROUP BY token, df
 """,
         "dd_exact": f"""
 SELECT array_to_string(list_slice({_TOKS}, 1, 3), ' ') AS dup_key,

@@ -70,6 +70,38 @@ def column_stats(df: DataFrame, cols: Optional[Sequence[str]] = None,
                        "min", "max", "approx_distinct"))
 
 
+def column_quantiles(df: DataFrame, cols: Sequence[str],
+                     probs: Sequence[float] = (0.25, 0.5, 0.75),
+                     ) -> DataFrame:
+    """Exact quantiles per numeric column, one row per (column, prob):
+    ``(column, prob, value)`` with linear interpolation between order
+    statistics (the quantile_cont contract), value rounded to 6.
+
+    Single aggregation pass — ``percentile(col, array<probs>)`` computes
+    all probs for all columns in one partial+final agg, then a
+    shuffle-free stack/explode unpivots. Exact percentile buffers the
+    column's values per group — fine for an all-in-one-group stats pass
+    on numeric columns at moderate width; at the 10^12-row design point
+    swap in ``percentile_approx`` (t-digest sketch, same call shape,
+    mergeable map-side) — the exact form exists for oracle parity."""
+    plist = [float(p) for p in probs]
+    parr = F.array(*[F.lit(p) for p in plist])
+    aggs = [F.percentile(F.col(c).cast("double"), parr).alias(f"{c}__q")
+            for c in cols]
+    row = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        for i, p in enumerate(plist):
+            stack_args.append(f"'{c}'")
+            stack_args.append(f"cast({p!r} as double)")
+            stack_args.append(f"`{c}__q`[{i}]")
+    expr = (f"stack({len(cols) * len(plist)}, {', '.join(stack_args)})"
+            f" as (column, prob, value)")
+    return (row.select(F.expr(expr))
+               .select("column", "prob",
+                       F.round(F.col("value"), 6).alias("value")))
+
+
 # ---------------------------------------------------------------------------
 # uniqueness
 # ---------------------------------------------------------------------------

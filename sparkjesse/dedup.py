@@ -432,6 +432,51 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate_report(df: DataFrame, benchmark: DataFrame,
+                         text_col: str = "text",
+                         id_col: str = "doc_id", *,
+                         shingle_n: int = 3,
+                         min_hits: int = 1) -> DataFrame:
+    """Training-set decontamination: flag corpus docs sharing word
+    ``shingle_n``-grams with a benchmark/eval set (the standard n-gram
+    overlap test, e.g. GPT-3 appendix C / PaLM §7). Returns one row
+    per contaminated doc: ``(id, n_hit_shingles, n_shingles,
+    hit_frac, example_shingle)`` with the lexicographically-smallest
+    overlapping shingle as the audit sample.
+
+    Scale: the benchmark side is distinct-shingled and BROADCAST —
+    eval suites are ~10^5-10^7 shingles, tiny next to a 10^12-doc
+    corpus — so the probe is a map-side hash join against the corpus'
+    exploded distinct shingles: no shuffle of corpus rows at all, and
+    the groupBy that re-aggregates hits is map-side combinable on
+    ``id_col``. If the benchmark ever outgrows broadcast, drop the
+    hint and the same plan degrades gracefully to a shuffled equijoin
+    on the shingle."""
+    sh = lambda c: F.array_distinct(  # noqa: E731
+        shingles_col(tokens_col(c), shingle_n))
+    bench_sh = (benchmark
+                .select(F.explode(sh(text_col)).alias("shingle"))
+                .distinct())
+    doc = df.select(F.col(id_col), sh(text_col).alias("sh"))
+    doc_sh = doc.select(id_col, F.size("sh").alias("n_shingles"),
+                        F.explode("sh").alias("shingle"))
+    hits = doc_sh.join(F.broadcast(bench_sh), "shingle")
+    return (hits.groupBy(id_col, "n_shingles")
+                .agg(F.count(F.lit(1)).alias("n_hit_shingles"),
+                     F.min("shingle").alias("example_shingle"))
+                .where(F.col("n_hit_shingles") >= min_hits)
+                .select(id_col,
+                        "n_hit_shingles", "n_shingles",
+                        F.round(F.col("n_hit_shingles").cast("double")
+                                / F.col("n_shingles").cast("double"), 4)
+                        .alias("hit_frac"),
+                        "example_shingle"))
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

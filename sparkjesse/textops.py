@@ -161,6 +161,161 @@ def top_tokens(df: DataFrame, text_col: str = "text", *, k: int = 20,
     return out.select(*cols)
 
 
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", *, k: int = 5) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF:
+    ``(id, term, tf, df, tfidf, rank)``.
+
+    tf = raw term count within the doc; idf = ln(N / df) with df =
+    #docs containing the term and N = corpus size. ``tfidf`` is rounded
+    to 6 decimals and the rank ORDERS BY THE ROUNDED VALUE (then term
+    ascending) — ln is the one transcendental here, and ranking on the
+    rounded score makes the ordering reproducible across engines whose
+    ln differs in the last ulp.
+
+    Scale shape: term counts and doc frequencies are both map-side-
+    combined groupBys — shuffle rows = #distinct (doc, term) pairs and
+    #distinct terms, never raw token occurrences. N arrives as a
+    broadcast 1-row cross join (no driver action, single lazy plan).
+    The tf⋈idf join shuffles on term; the per-doc top-k is a window
+    over doc-partitioned ranks. At 10^12 docs every stage is
+    partition-parallel; the only global object is the scalar N."""
+    from pyspark.sql.window import Window
+    pairs = df.select(F.col(id_col), F.explode(tokens_col(text_col))
+                      .alias("term"))
+    tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(dfreq, "term")
+                .crossJoin(F.broadcast(n_docs))
+                .withColumn(
+                    "tfidf",
+                    F.round(F.col("tf").cast("double")
+                            * F.log(F.col("n_docs").cast("double")
+                                    / F.col("df").cast("double")), 6)))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(id_col, "term", "tf", "df", "tfidf", "rank"))
+
+
+def _run_fold(grams_sorted: Column) -> Column:
+    """Single linear fold over a SORTED gram array producing
+    ``struct(best_run, best_gram, dup_chars)``:
+
+    - best_run / best_gram — the count and value of the most frequent
+      gram. Because the array is sorted, equal grams are adjacent (runs)
+      and ties automatically keep the lexicographically smallest gram:
+      a later run can only replace the best on STRICTLY greater length.
+    - dup_chars — Σ count×length over grams with count > 1, accumulated
+      incrementally (2×len when a run reaches 2, +len per further rep).
+
+    Pure Catalyst ``aggregate`` — zero shuffle, zero Python, linear in
+    doc length. The sentinel prev="\\x00" is outside the gram alphabet
+    (lowercase words joined by spaces)."""
+    zero = F.lit(0).cast("long")
+    init = F.struct(F.lit("\x00").alias("prev"), zero.alias("run"),
+                    zero.alias("best_run"), F.lit("").alias("best_gram"),
+                    zero.alias("dup_chars"))
+
+    def step(acc, g):
+        run = (F.when(acc["prev"] == g, acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long")))
+        glen = F.length(g).cast("long")
+        dup = (acc["dup_chars"]
+               + F.when(run == 2, glen * 2)
+                  .when(run > 2, glen).otherwise(zero))
+        better = run > acc["best_run"]
+        return F.struct(
+            g.alias("prev"), run.alias("run"),
+            F.when(better, run).otherwise(acc["best_run"])
+             .alias("best_run"),
+            F.when(better, g).otherwise(acc["best_gram"])
+             .alias("best_gram"),
+            dup.alias("dup_chars"))
+
+    return F.aggregate(
+        grams_sorted, init, step,
+        lambda acc: F.struct(acc["best_run"].alias("best_run"),
+                             acc["best_gram"].alias("best_gram"),
+                             acc["dup_chars"].alias("dup_chars")))
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", *, top_n: int = 2,
+                       dup_n: int = 3) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A.1.1, re-expressed over token n-grams since this corpus has
+    no line structure):
+
+    - ``top_gram`` / ``top_gram_count`` — the most frequent ``top_n``-gram
+      (ties → lexicographically smallest) and its occurrence count;
+    - ``top_ngram_char_frac`` — chars covered by that gram
+      (count × length) over total ``top_n``-gram chars;
+    - ``dup_ngram_char_frac`` — chars in ``dup_n``-grams occurring more
+      than once (Σ count×length) over total ``dup_n``-gram chars.
+
+    Both fractions are integer÷integer in IEEE double — bit-identical
+    across engines, no rounding needed. Implementation is two per-row
+    folds over sort_array'd shingles (equal grams adjacent ⇒ one linear
+    run-counting pass): zero shuffle, zero Python, linear in doc
+    length — the whole operator scales embarrassingly with partitions."""
+    toks = tokens_col(text_col)
+    top_grams = F.sort_array(shingles_col(toks, top_n))
+    dup_grams = F.sort_array(shingles_col(toks, dup_n))
+    gram_chars = (lambda grams: F.aggregate(
+        grams, F.lit(0).cast("long"),
+        lambda acc, g: acc + F.length(g).cast("long")))
+    top = _run_fold(top_grams)
+    dup = _run_fold(dup_grams)
+    return df.select(
+        F.col(id_col),
+        top["best_gram"].alias("top_gram"),
+        top["best_run"].alias("top_gram_count"),
+        ((top["best_run"] * F.length(top["best_gram"]).cast("long"))
+         .cast("double") / gram_chars(top_grams).cast("double"))
+        .alias("top_ngram_char_frac"),
+        (dup["dup_chars"].cast("double")
+         / gram_chars(dup_grams).cast("double"))
+        .alias("dup_ngram_char_frac"),
+    )
+
+
+def inverted_index(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", *, max_df: int | None = None,
+                   cap: int | None = None) -> DataFrame:
+    """Inverted index: ``(token, df, postings)`` with postings the
+    ascending list of doc ids containing the token.
+
+    Scale contract: the naive plan (groupBy(token).collect_list) builds
+    a stopword's ENTIRE posting list in one aggregation buffer — at
+    10^12 docs that's a multi-TB row. This plan bounds it up front:
+    doc frequencies are computed first (map-side-combined counts — tiny
+    rows), tokens with df > ``max_df`` are dropped BEFORE any list is
+    materialized, and ``cap`` truncates postings to the first ``cap``
+    doc ids via a token-partitioned window (safe: the window only ever
+    sees tokens that already passed ``max_df``). With ``max_df`` set,
+    every posting list is ≤ max_df entries by construction. The
+    pairs⇢filter join and the final collect share the token hash
+    partitioning, so AQE reuses one exchange for both."""
+    pairs = (df.select(F.col(id_col).alias("doc_id"),
+                       F.explode(F.array_distinct(tokens_col(text_col)))
+                        .alias("token")))
+    dfreq = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("df") <= max_df)
+    kept = pairs.join(dfreq, "token")
+    if cap is not None:
+        from pyspark.sql.window import Window
+        w = Window.partitionBy("token").orderBy(F.asc("doc_id"))
+        kept = (kept.withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") <= cap).drop("_rn"))
+    return (kept.groupBy("token", "df")
+                .agg(F.sort_array(F.collect_list("doc_id"))
+                      .alias("postings"))
+                .select("token", "df", "postings"))
+
+
 def fingerprints(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", prefix_tokens: int = 3) -> DataFrame:
     """Document fingerprints: full-content md5, a normalized prefix key

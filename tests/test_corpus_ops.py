@@ -1,0 +1,98 @@
+"""Corpus-level text operators: TF-IDF, repetition signals, inverted
+index, and the exact quantile pass — hand-computed tiny fixtures."""
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from sparkjesse import dataset_checks as dc
+from sparkjesse import textops
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [(1, "x x y"), (2, "y z")]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_tfidf_hand_computed(spark, tiny_docs):
+    out = {(r["doc_id"], r["term"]): r
+           for r in textops.tfidf_top_terms(tiny_docs, k=2).collect()}
+    ln2 = round(2 * math.log(2.0 / 1.0), 6)
+    r = out[(1, "x")]
+    assert (r["tf"], r["df"], r["tfidf"], r["rank"]) == (2, 1, ln2, 1)
+    r = out[(1, "y")]
+    assert (r["tf"], r["df"], r["tfidf"], r["rank"]) == (1, 2, 0.0, 2)
+    r = out[(2, "z")]
+    assert (r["tf"], r["rank"]) == (1, 1)
+    assert out[(2, "y")]["rank"] == 2
+
+
+def test_tfidf_k_truncates_and_tie_breaks_by_term(spark):
+    # all terms unique -> equal tfidf; rank must follow term asc
+    df = spark.createDataFrame([(1, "c a b d")], ["doc_id", "text"])
+    rows = textops.tfidf_top_terms(df, k=3).orderBy("rank").collect()
+    assert [r["term"] for r in rows] == ["a", "b", "c"]
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+
+
+def test_repetition_signals_hand_computed(spark):
+    # 2-grams of "a b a b a": {a b: 2, b a: 2} -> tie, lexicographically
+    # smallest wins; 3-grams: {a b a: 2, b a b: 1} -> dup 10/15 chars
+    df = spark.createDataFrame([(1, "a b a b a")], ["doc_id", "text"])
+    r = textops.repetition_signals(df, top_n=2, dup_n=3).collect()[0]
+    assert r["top_gram"] == "a b"
+    assert r["top_gram_count"] == 2
+    assert r["top_ngram_char_frac"] == pytest.approx(6 / 12)
+    assert r["dup_ngram_char_frac"] == pytest.approx(10 / 15)
+
+
+def test_repetition_no_repeats_is_zero_dup(spark):
+    df = spark.createDataFrame([(1, "q w e r t y")], ["doc_id", "text"])
+    r = textops.repetition_signals(df).collect()[0]
+    assert r["top_gram_count"] == 1
+    assert r["dup_ngram_char_frac"] == 0.0
+
+
+def test_repetition_short_doc_single_shingle(spark):
+    # doc shorter than n -> one whole-doc shingle, fraction 1.0
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    r = textops.repetition_signals(df, top_n=3, dup_n=3).collect()[0]
+    assert r["top_gram"] == "a b"
+    assert r["top_ngram_char_frac"] == 1.0
+
+
+def test_inverted_index_max_df_drops_stopwords(spark):
+    rows = [(1, "a b"), (2, "a c"), (3, "a b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["token"]: r for r in
+           textops.inverted_index(df, max_df=2).collect()}
+    assert set(out) == {"b", "c"}  # 'a' (df=3) dropped pre-materialize
+    assert out["b"]["df"] == 2 and out["b"]["postings"] == [1, 3]
+    assert out["c"]["postings"] == [2]
+
+
+def test_inverted_index_cap_truncates_to_first_ids(spark):
+    rows = [(i, "tok") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textops.inverted_index(df, cap=3).collect()
+    assert len(out) == 1
+    assert out[0]["df"] == 10  # df counts ALL docs, cap only postings
+    assert out[0]["postings"] == [0, 1, 2]
+
+
+def test_column_quantiles_interpolates(spark):
+    df = spark.createDataFrame([(float(v),) for v in [1, 2, 3, 4]],
+                               ["v"])
+    got = {r["prob"]: r["value"] for r in
+           dc.column_quantiles(df, ["v"], probs=(0.25, 0.5, 0.75))
+           .collect()}
+    assert got == {0.25: 1.75, 0.5: 2.5, 0.75: 3.25}
+
+
+def test_column_quantiles_multi_column_single_pass(spark):
+    df = spark.createDataFrame([(1.0, 10.0), (3.0, 30.0)], ["a", "b"])
+    rows = dc.column_quantiles(df, ["a", "b"], probs=(0.5,)).collect()
+    got = {(r["column"], r["prob"]): r["value"] for r in rows}
+    assert got == {("a", 0.5): 2.0, ("b", 0.5): 20.0}
