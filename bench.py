@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "ds_ks_exact", "txt_quality", "txt_langid", "dd_exact", "dd_minhash",
     "dd_simhash", "dd_simhash_pairs", "dd_simhash_wide", "dd_para",
     "sim_topk", "sim_ann", "kvc_agg",
+    # round 3 additions: event-time, corpus, and decontamination ops
+    "ts_sessions", "ts_asof", "txt_tfidf", "dd_decontaminate",
 ]
 
 # flagship interleaved-doc count per sf unit (sf0.1 → 1M docs): sized
@@ -101,7 +103,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "sparkjesse bench: 20 driver queries + interleaved "
+        "metric": "sparkjesse bench: 24 driver queries + interleaved "
                   "draft4 validation",
         "value": total,
         "unit": "sec",

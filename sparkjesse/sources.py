@@ -100,3 +100,22 @@ def write_bucketed(df: DataFrame, table_name: str, *,
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.format("parquet").saveAsTable(table_name)
+
+
+def write_range_sorted(df: DataFrame, path: str, *,
+                       sort_col: str, partitions: int = 64,
+                       mode: str = "overwrite") -> None:
+    """Persist GLOBALLY range-sorted output: rows are range-partitioned
+    on ``sort_col`` (sampled range boundaries → one exchange) and
+    sorted within each partition, so file k's values all precede file
+    k+1's. Two scale effects at 10^12 rows: (1) parquet min/max zone
+    maps become perfectly selective — a point/range predicate on
+    ``sort_col`` prunes to O(1) files instead of scanning everything;
+    (2) downstream consumers get merge-ready sorted runs without a
+    global sort of their own. This is the parquet stand-in for
+    Iceberg's sort-order table property. Unlike ``orderBy`` +
+    ``coalesce(1)`` (a single-reducer anti-pattern), every partition
+    writes in parallel."""
+    (df.repartitionByRange(partitions, sort_col)
+       .sortWithinPartitions(sort_col)
+       .write.mode(mode).parquet(path))

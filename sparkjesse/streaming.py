@@ -105,6 +105,34 @@ def stateful_key_budget(annotated: DataFrame, *, key_col: str,
                                     "append", timeout))
 
 
+def sessionize_stream(stream_df: DataFrame, *, key_col: str,
+                      time_col: str, gap: str = "30 minutes",
+                      watermark: str = "1 hour",
+                      value_col: Optional[str] = None) -> DataFrame:
+    """Streaming analogue of ``timeops.sessionize``: gap-based session
+    windows via the native ``session_window`` operator — sessions
+    close when no event arrives for ``gap``, and the watermark finalizes
+    (and evicts state for) sessions older than the horizon, so memory
+    stays bounded on unbounded streams. Emits one row per closed
+    session: ``(key, session, n_events[, total_value])`` where
+    ``session`` is the (start, end) struct.
+
+    Semantics note vs the batch operator: ``session_window``'s end is
+    last-event + gap (the window extent), while batch ``sessionize``
+    reports last-event itself — both identify the SAME event grouping
+    for a given gap; only the reported end differs, by exactly ``gap``.
+    Use the batch operator for backfill and this for the live tail."""
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col:
+        aggs.append(F.round(F.sum(value_col), 4).alias("total_value"))
+    return (stream_df
+            .withWatermark(time_col, watermark)
+            .groupBy(F.col(key_col),
+                     F.session_window(F.col(time_col), gap)
+                      .alias("session"))
+            .agg(*aggs))
+
+
 def dedup_stream(stream_df: DataFrame, *, id_col: str = "doc_id",
                  time_col: str, watermark: str = "10 minutes") -> DataFrame:
     """Streaming exact dedup: exactly ONE arrival per ``id_col``

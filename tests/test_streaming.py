@@ -167,3 +167,35 @@ def test_dedup_stream_drops_replayed_ids(spark, tmp_path):
     # exactly one d1 survived (which duplicate wins is
     # processing-order); d2's exact replay collapsed to its one value
     assert rows[1]["n"] == 2 and rows[1]["valid"] is True
+
+
+def test_sessionize_stream_groups_by_gap(spark, tmp_path):
+    """session_window closes a session after `gap` of key silence; a
+    30-min gap splits user 1's events into two sessions."""
+    src = str(tmp_path / "in5")
+    spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00", 1.0),
+         (1, "2026-01-01 00:10:00", 2.0),   # +10min -> same session
+         (1, "2026-01-01 01:00:00", 4.0),   # +50min -> new session
+         (2, "2026-01-01 00:00:00", 8.0)],
+        "uid long, ts_s string, v double") \
+        .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s") \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "uid long, v double, ts timestamp").parquet(src)
+    sess = streaming.sessionize_stream(stream, key_col="uid",
+                                       time_col="ts", gap="30 minutes",
+                                       value_col="v")
+    q = (sess.writeStream.format("memory").queryName("sess_t")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck5"))
+         .start())
+    try:
+        _drain(q)
+        rows = spark.sql(
+            "SELECT uid, session.start AS s, n_events, total_value "
+            "FROM sess_t ORDER BY uid, s").collect()
+    finally:
+        q.stop()
+    got = [(r["uid"], r["n_events"], r["total_value"]) for r in rows]
+    assert got == [(1, 2, 3.0), (1, 1, 4.0), (2, 1, 8.0)]
