@@ -107,3 +107,61 @@ def test_stats_single_pass_no_shuffle_of_rows(spark):
     assert plan.count("Exchange") <= 2
     assert "HashAggregate" in plan or "SortAggregate" in plan \
         or "ObjectHashAggregate" in plan
+
+
+def test_asof_join_single_exchange(spark):
+    """asof_join: union-tag + window = exactly ONE hash exchange on the
+    key — never an interval-join row expansion."""
+    from sparkjesse import timeops
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .where(F.col("user_id").isNotNull())
+          .select("event_id", "user_id", "ts"))
+    orders = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+              .select(F.col("o_custkey").alias("user_id"),
+                      "o_orderdate", "o_orderkey"))
+    plan = _plan(timeops.asof_join(ev, orders, "user_id", "ts",
+                                   "o_orderdate", ["o_orderkey"]))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_sessionize_single_exchange_shared_sort(spark):
+    """sessionize: lag + running-sum + session agg all ride ONE
+    key-hash exchange (AQE may add a post-agg coalesce, never a second
+    hash exchange on different keys)."""
+    from sparkjesse import timeops
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull()))
+    plan = _plan(timeops.sessionize(ev, "user_id", "ts",
+                                    id_col="event_id"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_repetition_signals_zero_shuffle(spark):
+    """Per-row folds: no exchange anywhere in the plan."""
+    from sparkjesse import textops
+    docs = spark.read.parquet(DOCS)
+    plan = _plan(textops.repetition_signals(docs))
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_sampling_zero_shuffle_and_pruned_scan(spark):
+    """Deterministic sampling is a pure filter: zero exchange, and the
+    scan reads only the referenced columns."""
+    from sparkjesse import sampling
+    docs = spark.read.parquet(DOCS).select("doc_id", "lang")
+    plan = _plan(sampling.stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.5}, default_fraction=0.1))
+    assert "Exchange" not in plan, plan[:2000]
+    read = re.findall(r"ReadSchema: (\S+)", plan)
+    assert read and "text" not in read[0]
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark side must arrive via broadcast — corpus rows are
+    never shuffled for the probe join."""
+    from sparkjesse import dedup
+    docs = spark.read.parquet(DOCS)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    plan = _plan(dedup.decontaminate_report(corpus, bench))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
