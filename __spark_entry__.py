@@ -418,6 +418,28 @@ def _txt_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   max_df=400, cap=20)
 
 
+def _txt_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with deterministic id assignment
+    (count desc, token asc); hapax pruning before the rank."""
+    return textops.build_vocab(_docs(spark, sf_dir), min_count=2)
+
+
+def _txt_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id sequence encoding against a capped vocab (top-16) —
+    OOV maps to -1, order and length preserved."""
+    docs = _docs(spark, sf_dir)
+    vocab = textops.build_vocab(docs, max_size=16)
+    return textops.encode_documents(docs, vocab)
+
+
+def _txt_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard filter with per-rule audit reasons."""
+    return textops.quality_filter(
+        _docs(spark, sf_dir), min_tokens=25, max_tokens=90,
+        min_avg_token_len=4.0, max_avg_token_len=5.0,
+        max_stopword_ratio=0.10, min_distinct_ratio=0.40)
+
+
 # -- deduplication ----------------------------------------------------------
 
 def _dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -608,6 +630,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_tfidf": _txt_tfidf,
         "txt_repetition": _txt_repetition,
         "txt_inverted": _txt_inverted,
+        "txt_vocab": _txt_vocab,
+        "txt_encode": _txt_encode,
+        "txt_filter": _txt_filter,
         "dd_exact": _dd_exact,
         "dd_minhash": _dd_minhash,
         "dd_simhash": _dd_simhash,
@@ -1209,6 +1234,59 @@ k AS (SELECT p.token, d.df, p.doc_id,
       FROM p JOIN d USING (token))
 SELECT token, df, list_sort(list(doc_id)) AS postings
 FROM k WHERE rn <= 20 GROUP BY token, df
+""",
+        "txt_vocab": f"""
+WITH c AS (SELECT tok AS token, count(*)::BIGINT AS count
+           FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+           GROUP BY 1 HAVING count(*) >= 2)
+SELECT token,
+       (row_number() OVER (ORDER BY count DESC, token ASC) - 1)::BIGINT
+         AS token_id,
+       count
+FROM c
+""",
+        "txt_encode": f"""
+WITH c AS (SELECT tok AS token, count(*)::BIGINT AS count
+           FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+           GROUP BY 1),
+v AS (SELECT token, token_id FROM (
+        SELECT token,
+          (row_number() OVER (ORDER BY count DESC, token ASC) - 1)
+            ::BIGINT AS token_id
+        FROM c) WHERE token_id < 16),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+p AS (SELECT doc_id, unnest(toks) AS token,
+             unnest(range(1, len(toks) + 1)) AS pos
+      FROM t),
+j AS (SELECT p.doc_id, p.pos,
+             coalesce(v.token_id, -1)::BIGINT AS tid,
+             (v.token_id IS NULL)::INT AS oov
+      FROM p LEFT JOIN v USING (token))
+SELECT doc_id, list(tid ORDER BY pos) AS ids,
+       sum(oov)::BIGINT AS n_oov
+FROM j GROUP BY doc_id
+""",
+        "txt_filter": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, len(toks) AS n_tok,
+        list_reduce(list_transform(toks, x -> length(x)::BIGINT),
+                    (a, b) -> a + b)::DOUBLE / len(toks)::DOUBLE
+          AS avg_len,
+        len(list_filter(toks, x -> list_contains([{stop_list}], x)))
+          ::DOUBLE / len(toks)::DOUBLE AS stop_ratio,
+        len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS dr
+      FROM t),
+r AS (SELECT doc_id,
+        list_filter([
+          CASE WHEN NOT (n_tok >= 25) THEN 'too_few_tokens' END,
+          CASE WHEN NOT (n_tok <= 90) THEN 'too_many_tokens' END,
+          CASE WHEN NOT (avg_len >= 4.0) THEN 'avg_token_too_short' END,
+          CASE WHEN NOT (avg_len <= 5.0) THEN 'avg_token_too_long' END,
+          CASE WHEN NOT (stop_ratio <= 0.10) THEN 'stopword_heavy' END,
+          CASE WHEN NOT (dr >= 0.40) THEN 'low_lexical_diversity' END
+        ], x -> x IS NOT NULL) AS reasons
+      FROM s)
+SELECT doc_id, (len(reasons) = 0) AS keep, reasons FROM r
 """,
         "dd_exact": f"""
 SELECT array_to_string(list_slice({_TOKS}, 1, 3), ' ') AS dup_key,

@@ -17,7 +17,7 @@ in ``__spark_entry__.py`` computes the same bytes).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # fixed marker vocabularies for the n-gram/stopword language heuristic;
@@ -314,6 +314,102 @@ def inverted_index(df: DataFrame, text_col: str = "text",
                 .agg(F.sort_array(F.collect_list("doc_id"))
                       .alias("postings"))
                 .select("token", "df", "postings"))
+
+
+def build_vocab(df: DataFrame, text_col: str = "text", *,
+                min_count: int = 1,
+                max_size: int | None = None) -> DataFrame:
+    """Frequency-ranked vocabulary: ``(token, token_id, count)`` with
+    ``token_id`` assigned by (count desc, token asc) — id 0 is the most
+    frequent token, deterministic across runs and engines.
+
+    Scale shape: token counts are a map-side-combined groupBy (shuffle
+    rows = #distinct tokens, never occurrences); ``min_count`` prunes
+    the hapax tail BEFORE ranking. The final id assignment is a global
+    window — a single-task sort BY CONSTRUCTION of the problem: a
+    vocabulary is small (≤ ``max_size``, typically 10^4-10^6 rows)
+    because that is what makes it a vocabulary; the 10^12-token corpus
+    never passes through this stage."""
+    counts = (df.select(F.explode(tokens_col(text_col)).alias("token"))
+                .groupBy("token")
+                .agg(F.count(F.lit(1)).alias("count"))
+                .where(F.col("count") >= min_count))
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    vocab = counts.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("long"))
+    if max_size is not None:
+        vocab = vocab.where(F.col("token_id") < max_size)
+    return vocab.select("token", "token_id", "count")
+
+
+def encode_documents(df: DataFrame, vocab: DataFrame,
+                     text_col: str = "text",
+                     id_col: str = "doc_id", *,
+                     oov_id: int = -1) -> DataFrame:
+    """Encode each document as its token-id sequence:
+    ``(id, ids, n_oov)`` with order preserved and out-of-vocabulary
+    tokens mapped to ``oov_id``.
+
+    Scale shape: posexplode → broadcast join on token (the vocab is
+    small — see ``build_vocab``) → re-assemble by (doc, pos). The ONE
+    shuffle is the groupBy on ``id_col``; the join adds none. OOV is a
+    LEFT join + coalesce, so unknown tokens never drop positions —
+    sequence length and order are invariants."""
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(text_col)).alias("pos", "token"))
+    joined = (pos.join(F.broadcast(vocab.select("token", "token_id")),
+                       "token", "left")
+                 .withColumn("tid", F.coalesce(F.col("token_id"),
+                                               F.lit(oov_id))))
+    return (joined.groupBy(id_col)
+            .agg(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct(F.col("pos"), F.col("tid")))),
+                     lambda s: s["tid"]).alias("ids"),
+                 F.sum(F.col("token_id").isNull().cast("long"))
+                  .alias("n_oov")))
+
+
+# Gopher-style hard filter rules (Rae et al. 2021 §A.1.1, adapted to
+# this corpus' token structure). Each rule is (name, keep-predicate
+# builder over the token array / text column).
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", *,
+                   min_tokens: int = 10, max_tokens: int = 100_000,
+                   min_avg_token_len: float = 2.0,
+                   max_avg_token_len: float = 12.0,
+                   max_stopword_ratio: float = 0.5,
+                   min_distinct_ratio: float = 0.1) -> DataFrame:
+    """Rule-based document filter with per-rule audit reasons:
+    ``(id, keep, reasons)`` where ``reasons`` lists every failed rule
+    (empty ⇒ keep). The standard hard-filter stage of an LLM data
+    pipeline (Gopher / C4 style), kept fully expression-side: one pass,
+    zero shuffle, zero Python — at 10^12 docs this runs at scan speed.
+    Use ``.where(F.col("keep"))`` to materialize the survivors;
+    aggregate ``reasons`` for the drop report."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks).cast("double")
+    avg_len = (F.aggregate(toks, F.lit(0).cast("long"),
+                           lambda a, t: a + F.length(t)).cast("double")
+               / n_tok)
+    stop_ratio = (F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+                  .cast("double") / n_tok)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    rules = [
+        ("too_few_tokens", F.size(toks) >= min_tokens),
+        ("too_many_tokens", F.size(toks) <= max_tokens),
+        ("avg_token_too_short", avg_len >= min_avg_token_len),
+        ("avg_token_too_long", avg_len <= max_avg_token_len),
+        ("stopword_heavy", stop_ratio <= max_stopword_ratio),
+        ("low_lexical_diversity", distinct_ratio >= min_distinct_ratio),
+    ]
+    reasons = F.array_compact(F.array(
+        *[F.when(~pred, F.lit(name)) for name, pred in rules]))
+    return df.select(
+        F.col(id_col),
+        (F.size(reasons) == 0).alias("keep"),
+        reasons.alias("reasons"))
 
 
 def fingerprints(df: DataFrame, text_col: str = "text",

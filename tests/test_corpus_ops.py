@@ -96,3 +96,59 @@ def test_column_quantiles_multi_column_single_pass(spark):
     rows = dc.column_quantiles(df, ["a", "b"], probs=(0.5,)).collect()
     got = {(r["column"], r["prob"]): r["value"] for r in rows}
     assert got == {("a", 0.5): 2.0, ("b", 0.5): 20.0}
+
+
+def test_build_vocab_rank_and_pruning(spark):
+    rows = [(1, "b b b a a c"), (2, "a b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["token"]: r for r in
+           textops.build_vocab(df, min_count=2).collect()}
+    # counts: b=4, a=3, c=1 (pruned by min_count)
+    assert set(out) == {"a", "b"}
+    assert out["b"]["token_id"] == 0 and out["b"]["count"] == 4
+    assert out["a"]["token_id"] == 1 and out["a"]["count"] == 3
+
+
+def test_build_vocab_tie_breaks_by_token(spark):
+    df = spark.createDataFrame([(1, "z y z y")], ["doc_id", "text"])
+    out = {r["token"]: r["token_id"] for r in
+           textops.build_vocab(df).collect()}
+    assert out == {"y": 0, "z": 1}  # equal counts -> token asc
+
+
+def test_encode_documents_preserves_order_and_oov(spark):
+    df = spark.createDataFrame(
+        [(1, "b a b unknown a")], ["doc_id", "text"])
+    vocab = spark.createDataFrame(
+        [("a", 0), ("b", 1)], ["token", "token_id"])
+    r = textops.encode_documents(df, vocab).collect()[0]
+    assert r["ids"] == [1, 0, 1, -1, 0]  # order kept, OOV = -1
+    assert r["n_oov"] == 1
+
+
+def test_encode_with_capped_vocab_marks_tail_oov(spark):
+    df = spark.createDataFrame([(1, "a a a b b c")], ["doc_id", "text"])
+    vocab = textops.build_vocab(df, max_size=2)  # keeps a(0), b(1)
+    r = textops.encode_documents(df, vocab).collect()[0]
+    assert r["ids"] == [0, 0, 0, 1, 1, -1]
+    assert r["n_oov"] == 1
+
+
+def test_quality_filter_reasons_and_keep(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "a b"),                       # too few + short tokens
+        (3, "the the the the the the the the the the"),  # stop + dup
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textops.quality_filter(
+        df, min_tokens=5, max_tokens=100, min_avg_token_len=2.0,
+        max_avg_token_len=12.0, max_stopword_ratio=0.5,
+        min_distinct_ratio=0.2).collect()}
+    assert out[1]["keep"] is True and out[1]["reasons"] == []
+    assert out[2]["keep"] is False
+    assert set(out[2]["reasons"]) == {"too_few_tokens",
+                                      "avg_token_too_short"}
+    assert out[3]["keep"] is False
+    assert set(out[3]["reasons"]) == {"stopword_heavy",
+                                      "low_lexical_diversity"}
