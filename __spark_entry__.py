@@ -440,6 +440,13 @@ def _txt_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_stopword_ratio=0.10, min_distinct_ratio=0.40)
 
 
+def _sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + cohesion over the embeddings table
+    (label-quality audit; dim map-side avgs + broadcast second pass)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb, dim=64)
+
+
 # -- deduplication ----------------------------------------------------------
 
 def _dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -650,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann": _sim_ann,
         "sim_ivf": _sim_ivf,
         "sim_ivf_trained": _sim_ivf_trained,
+        "sim_centroids": _sim_centroids,
         "kvc_agg": _kvc_agg,
     }
 
@@ -1419,6 +1427,19 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored)
 SELECT query_id, neighbor_id, cosine, rk::INT AS rank
 FROM r WHERE rk <= 3
+""",
+        "sim_centroids": f"""
+WITH c AS (SELECT label, count(*)::BIGINT AS n,
+             [{', '.join(f'round(avg(embedding[{i + 1}]::DOUBLE), 6)'
+                         for i in range(64))}] AS centroid
+           FROM embeddings GROUP BY label),
+j AS (SELECT e.label, c.n, c.centroid,
+        {_DOT.format(a='e.embedding', b='c.centroid')}
+          / sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
+          / sqrt({_DOT.format(a='c.centroid', b='c.centroid')}) AS cos
+      FROM embeddings e JOIN c USING (label))
+SELECT label, n, centroid, round(avg(cos), 6) AS cohesion
+FROM j GROUP BY label, n, centroid
 """,
         "kvc_agg": """
 SELECT event_type, count(*)::BIGINT AS cnt, sum(k)::BIGINT AS sum_k,

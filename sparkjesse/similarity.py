@@ -334,3 +334,37 @@ def ann_topk_bucketed(queries: DataFrame, corpus: DataFrame, *,
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k)
                   .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def label_centroids(df: DataFrame, emb_col: str = "embedding",
+                    label_col: str = "label", *, dim: int,
+                    with_cohesion: bool = True) -> DataFrame:
+    """Per-label embedding centroid and cohesion — the label-quality
+    audit for an embedding table: ``(label, n, centroid[, cohesion])``
+    where ``centroid`` is the per-dimension mean (each coordinate
+    rounded to 6 — rounding BEFORE the cohesion pass makes every
+    downstream cosine deterministic across engines despite
+    order-dependent float summation) and ``cohesion`` is the mean
+    cosine of members to their centroid (low cohesion ⇒ mislabeled or
+    multi-modal label).
+
+    Scale shape: the centroid is ``dim`` map-side-combinable ``avg``
+    aggregates — the one shuffle carries ``dim`` doubles per (task,
+    label), never embedding rows. Cohesion is a second map-side pass:
+    centroids are broadcast (labels are few by definition), cosines
+    computed per row, one more tiny aggregate. No pass ever shuffles
+    an embedding vector."""
+    cent = df.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.round(F.avg(F.element_at(F.col(emb_col), i + 1)), 6)
+          .alias(f"_c{i}") for i in range(dim)])
+    cent = cent.select(
+        label_col, "n",
+        F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid"))
+    if not with_cohesion:
+        return cent
+    j = df.select(label_col, emb_col).join(F.broadcast(cent), label_col)
+    cos = cosine_col(F.col(emb_col), F.col("centroid"))
+    return (j.groupBy(label_col, "n", "centroid")
+             .agg(F.round(F.avg(cos), 6).alias("cohesion"))
+             .select(label_col, "n", "centroid", "cohesion"))

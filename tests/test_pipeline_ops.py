@@ -533,3 +533,29 @@ def test_top_tokens_global_and_grouped(spark):
     plan = (textops.top_tokens(df, k=2)
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
+
+
+def test_label_centroids_known_geometry(spark):
+    # label 0: two opposite-ish vectors -> centroid between, cohesion<1
+    # label 1: two identical vectors -> cohesion == 1.0
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 0),
+        (3, [0.5, 0.5, 0.5, 0.5], 1),
+        (4, [0.5, 0.5, 0.5, 0.5], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in
+           similarity.label_centroids(df, dim=4).collect()}
+    assert out[0]["n"] == 2 and out[1]["n"] == 2
+    assert out[0]["centroid"] == [0.5, 0.5, 0.0, 0.0]
+    # cos([1,0,0,0],[.5,.5,0,0]) = .5/(1*sqrt(.5)) = 0.707107
+    assert out[0]["cohesion"] == pytest.approx(0.707107, abs=1e-6)
+    assert out[1]["cohesion"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_label_centroids_broadcast_no_embedding_shuffle(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = similarity.label_centroids(emb, dim=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
