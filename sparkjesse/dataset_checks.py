@@ -72,22 +72,31 @@ def column_stats(df: DataFrame, cols: Optional[Sequence[str]] = None,
 
 def column_quantiles(df: DataFrame, cols: Sequence[str],
                      probs: Sequence[float] = (0.25, 0.5, 0.75),
-                     ) -> DataFrame:
-    """Exact quantiles per numeric column, one row per (column, prob):
-    ``(column, prob, value)`` with linear interpolation between order
-    statistics (the quantile_cont contract), value rounded to 6.
+                     *, exact: bool = True,
+                     accuracy: int = 10_000) -> DataFrame:
+    """Quantiles per numeric column, one row per (column, prob):
+    ``(column, prob, value)``, value rounded to 6.
 
-    Single aggregation pass — ``percentile(col, array<probs>)`` computes
-    all probs for all columns in one partial+final agg, then a
-    shuffle-free stack/explode unpivots. Exact percentile buffers the
-    column's values per group — fine for an all-in-one-group stats pass
-    on numeric columns at moderate width; at the 10^12-row design point
-    swap in ``percentile_approx`` (t-digest sketch, same call shape,
-    mergeable map-side) — the exact form exists for oracle parity."""
+    Single aggregation pass — one partial+final agg computes all probs
+    for all columns, then a shuffle-free stack/explode unpivots.
+
+    ``exact=True`` uses ``percentile`` (linear interpolation between
+    order statistics — the quantile_cont contract, engine-portable for
+    the DuckDB oracle) but buffers each column's values in the one
+    aggregation buffer — fine at profile-pass scale, NOT at 10^12 rows.
+    ``exact=False`` is the scale path: ``percentile_approx`` keeps a
+    fixed-size mergeable sketch per column (error ≤ 1/``accuracy`` in
+    rank), map-side combinable, memory O(accuracy) regardless of row
+    count — same call shape, same output schema."""
     plist = [float(p) for p in probs]
     parr = F.array(*[F.lit(p) for p in plist])
-    aggs = [F.percentile(F.col(c).cast("double"), parr).alias(f"{c}__q")
-            for c in cols]
+    if exact:
+        aggs = [F.percentile(F.col(c).cast("double"), parr)
+                .alias(f"{c}__q") for c in cols]
+    else:
+        aggs = [F.percentile_approx(F.col(c).cast("double"), parr,
+                                    F.lit(accuracy)).alias(f"{c}__q")
+                for c in cols]
     row = df.agg(*aggs)
     stack_args = []
     for c in cols:

@@ -152,3 +152,17 @@ def test_quality_filter_reasons_and_keep(spark):
     assert out[3]["keep"] is False
     assert set(out[3]["reasons"]) == {"stopword_heavy",
                                       "low_lexical_diversity"}
+
+
+def test_column_quantiles_approx_matches_exact_on_small_data(spark):
+    # at default accuracy the sketch is exact for tiny inputs (error
+    # <= 1/accuracy in rank), up to interpolation: approx returns an
+    # observed value, exact interpolates -- use a prob hitting an
+    # exact order statistic so both agree
+    df = spark.createDataFrame([(float(v),) for v in range(1, 102)],
+                               ["v"])
+    ex = {r["prob"]: r["value"] for r in dc.column_quantiles(
+        df, ["v"], probs=(0.5,)).collect()}
+    ap = {r["prob"]: r["value"] for r in dc.column_quantiles(
+        df, ["v"], probs=(0.5,), exact=False).collect()}
+    assert ex == ap == {0.5: 51.0}

@@ -1,0 +1,49 @@
+"""End-to-end training-data pipeline job: sample -> filter -> dedup ->
+decontaminate -> encode -> range-sorted write, over the sf0.001 table."""
+from __future__ import annotations
+
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def test_pipeline_job_end_to_end(spark, tmp_path, monkeypatch):
+    sys.path.insert(0, "/root/repo/tools")
+    import pipeline_job
+
+    out = str(tmp_path / "out")
+    bench = str(tmp_path / "bench")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.where(F.col("doc_id") % 97 == 0).write.parquet(bench)
+
+    monkeypatch.setattr(sys, "argv", [
+        "pipeline_job.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out, "--benchmark", bench,
+        "--vocab-size", "16", "--partitions", "4",
+    ])
+    pipeline_job.main()
+
+    with open(out + "_stats.json", encoding="utf-8") as fh:
+        stats = json.load(fh)
+    # monotone funnel: every stage can only shrink the corpus
+    order = ["input", "after_filter", "after_exact_dedup",
+             "after_near_dedup", "after_decontaminate", "written"]
+    vals = [stats[k] for k in order]
+    assert vals == sorted(vals, reverse=True), stats
+    assert stats["written"] > 0
+
+    final = spark.read.parquet(out + "/docs")
+    assert final.count() == stats["written"]
+    # encoded ids present, within the capped vocab or OOV
+    r = final.select(F.explode("ids").alias("i")).agg(
+        F.min("i"), F.max("i")).collect()[0]
+    assert r[0] >= -1 and r[1] < 16
+    # drop report exists with counted reasons
+    rep = spark.read.parquet(out + "/drop_report")
+    assert rep.columns == ["reason", "docs"]
+    # vocab ids are dense from 0
+    vocab = spark.read.parquet(out + "/vocab")
+    ids = sorted(r["token_id"] for r in vocab.collect())
+    assert ids == list(range(len(ids)))

@@ -1,0 +1,118 @@
+"""spark-submit entry point: end-to-end training-data preparation.
+
+    spark-submit --py-files dist/sparkjesse.zip tools/pipeline_job.py \
+        --input /path/to/documents_parquet --output /path/to/out \
+        [--benchmark /path/to/benchmark_parquet] [--vocab-size 65536] \
+        [--sample 1.0] [--partitions 256]
+
+The standard LLM data-prep chain, every stage a sparkjesse operator:
+
+  1. deterministic hash sample (``sampling.deterministic_sample``) —
+     reproducible across cluster sizes and retries;
+  2. Gopher-style hard quality filter (``textops.quality_filter``) —
+     zero-shuffle expression pass, per-rule drop report written out;
+  3. exact dedup on content fingerprint (first arrival by doc_id wins);
+  4. SimHash near-dup removal (``dedup.simhash_near_pairs`` pigeonhole
+     banding + ``duplicate_clusters`` canonical-keep);
+  5. benchmark decontamination (``dedup.decontaminate_report``,
+     broadcast n-gram overlap) when ``--benchmark`` is given;
+  6. vocabulary build + token-id encoding (``textops.build_vocab`` /
+     ``encode_documents``);
+  7. range-sorted parquet output (``sources.write_range_sorted``) so
+     downstream consumers get zone-map-prunable, merge-ready files.
+
+Shuffle ledger for the whole job: sample and filter are pure maps;
+exact dedup and encode each shuffle once on doc-sized rows; SimHash
+pair-finding shuffles fingerprint bands (bands × 8 B per doc), never
+text; decontamination broadcasts the benchmark side. Nothing shuffles
+the corpus twice in a row on different keys.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--benchmark", default=None)
+    ap.add_argument("--sample", type=float, default=1.0)
+    ap.add_argument("--vocab-size", type=int, default=65536)
+    ap.add_argument("--partitions", type=int, default=256)
+    ap.add_argument("--max-hamming", type=int, default=3)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from sparkjesse import dedup, sampling, sources, textops
+
+    spark = SparkSession.builder.appName("sparkjesse-pipeline") \
+        .getOrCreate()
+    docs = spark.read.parquet(args.input)
+    stats: dict = {"input": docs.count()}
+
+    # 1. reproducible sample
+    if args.sample < 1.0:
+        docs = sampling.deterministic_sample(docs, "doc_id", args.sample)
+        stats["sampled"] = docs.count()
+
+    # 2. quality filter + drop report
+    verdicts = textops.quality_filter(docs)
+    (verdicts.where(~F.col("keep"))
+             .select(F.explode("reasons").alias("reason"))
+             .groupBy("reason").agg(F.count(F.lit(1)).alias("docs"))
+             .write.mode("overwrite")
+             .parquet(f"{args.output}/drop_report"))
+    docs = (docs.join(verdicts.where(F.col("keep")).select("doc_id"),
+                      "doc_id"))
+    docs.persist()
+    stats["after_filter"] = docs.count()
+
+    # 3. exact dedup: keep the smallest doc_id per content hash
+    keyed = docs.withColumn("_fp", F.md5(F.col("text")))
+    keep = keyed.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    docs = keyed.join(keep, ["_fp", "doc_id"]).drop("_fp")
+    stats["after_exact_dedup"] = docs.count()
+
+    # 4. near-dup removal: pair graph -> clusters -> keep canonical
+    pairs = dedup.simhash_near_pairs(docs, bits=64,
+                                     max_hamming=args.max_hamming)
+    clusters = dedup.duplicate_clusters(pairs)
+    drop = (clusters.where(F.col("doc_id") != F.col("cluster_id"))
+                    .select("doc_id"))
+    docs = docs.join(drop, "doc_id", "left_anti")
+    stats["after_near_dedup"] = docs.count()
+
+    # 5. decontamination against the benchmark/eval set
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        contaminated = dedup.decontaminate_report(docs, bench) \
+            .select("doc_id")
+        docs = docs.join(contaminated, "doc_id", "left_anti")
+        stats["after_decontaminate"] = docs.count()
+
+    # 6. vocabulary + encoding
+    vocab = textops.build_vocab(docs, min_count=2,
+                                max_size=args.vocab_size)
+    vocab.write.mode("overwrite").parquet(f"{args.output}/vocab")
+    encoded = textops.encode_documents(docs, vocab)
+
+    # 7. range-sorted output (zone-map-prunable by doc_id)
+    sources.write_range_sorted(
+        docs.join(encoded, "doc_id"), f"{args.output}/docs",
+        sort_col="doc_id", partitions=args.partitions)
+    stats["written"] = spark.read.parquet(f"{args.output}/docs").count()
+
+    docs.unpersist()
+    with open(f"{args.output.rstrip('/')}_stats.json", "w",
+              encoding="utf-8") as fh:
+        json.dump(stats, fh)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()
