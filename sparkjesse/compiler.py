@@ -38,6 +38,7 @@ reference's type gating.
 from __future__ import annotations
 
 import json
+import re as _re
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
@@ -311,7 +312,7 @@ def _value_json(value: Column, dtype: DataType) -> Column:
 
 
 def _viol(error_type: str, path: Column, schema_ptr: str,
-          value_json: Column, detail: str = "",
+          value_json: Column, detail: "str | Column" = "",
           kind: str = E.DATA_INVALID) -> Column:
     return F.struct(
         F.lit(kind).alias("error_kind"),
@@ -319,8 +320,16 @@ def _viol(error_type: str, path: Column, schema_ptr: str,
         path.alias("path"),
         F.lit(schema_ptr).alias("schema_ptr"),
         value_json.alias("value_json"),
-        F.lit(detail).alias("detail"),
+        (F.lit(detail) if isinstance(detail, str) else detail)
+        .alias("detail"),
     )
+
+
+def _escape_key_col(key: Column) -> Column:
+    """RFC 6901 pointer escaping for a RUNTIME map key (``~``→``~0``,
+    ``/``→``~1``) — the expression twin of ``errors.pointer_escape``."""
+    return F.replace(F.replace(key, F.lit("~"), F.lit("~0")),
+                     F.lit("/"), F.lit("~1"))
 
 
 def _empty_violations() -> Column:
@@ -470,37 +479,41 @@ def _keyword_predicate(kw: str, arg: Any, schema: dict, value: Column,
     if kw == "dependencies" and isinstance(arg, dict):
         return _dependencies_predicate(arg, value, dtype, ctx, _depth)
 
-    if kw == "minProperties" and isinstance(dtype, MapType):
+    # min/maxProperties are draft4-only; the draft3 reference skips
+    # unknown keywords (`jesse_validator_draft3.erl:190-191`)
+    if kw == "minProperties" and not draft3 and isinstance(dtype, MapType):
         return _ns(F.size(F.map_keys(value)) >= F.lit(arg))
-    if kw == "maxProperties" and isinstance(dtype, MapType):
+    if kw == "maxProperties" and not draft3 and isinstance(dtype, MapType):
         return _ns(F.size(F.map_keys(value)) <= F.lit(arg))
-    if kw == "minProperties" and isinstance(dtype, StructType):
+    if kw == "minProperties" and not draft3 and isinstance(dtype, StructType):
         return _ns(_present_field_count(value, dtype) >= F.lit(arg))
-    if kw == "maxProperties" and isinstance(dtype, StructType):
+    if kw == "maxProperties" and not draft3 and isinstance(dtype, StructType):
         return _ns(_present_field_count(value, dtype) <= F.lit(arg))
 
     if kw in ("patternProperties", "additionalProperties"):
         return _map_properties_predicate(kw, arg, schema, value, dtype,
                                          ctx, _depth)
 
-    if kw == "allOf" and isinstance(arg, list):
+    # combinators are draft4-only (the draft3 reference skips unknown
+    # keywords, `jesse_validator_draft3.erl:190-191`)
+    if kw == "allOf" and not draft3 and isinstance(arg, list):
         out = _true()
         for sub in arg:
             out = out & compile_predicate(sub, value, dtype, ctx, _depth + 1)
         return out
-    if kw == "anyOf" and isinstance(arg, list):
+    if kw == "anyOf" and not draft3 and isinstance(arg, list):
         out = F.lit(False)
         for sub in arg:
             out = out | compile_predicate(sub, value, dtype, ctx, _depth + 1)
         return value.isNull() | out
-    if kw == "oneOf" and isinstance(arg, list):
+    if kw == "oneOf" and not draft3 and isinstance(arg, list):
         n = F.lit(0)
         for sub in arg:
             n = n + F.when(
                 compile_predicate(sub, value, dtype, ctx, _depth + 1), 1
             ).otherwise(0)
         return value.isNull() | (n == 1)
-    if kw == "not" and isinstance(arg, dict):
+    if kw == "not" and not draft3 and isinstance(arg, dict):
         return value.isNull() | \
             ~F.coalesce(compile_predicate(arg, value, dtype, ctx, _depth + 1),
                         F.lit(True))
@@ -701,6 +714,12 @@ def _dependencies_predicate(deps: dict, value: Column, dtype: DataType,
             for member in dep:
                 if isinstance(member, str):
                     req = req & has(member)
+                elif isinstance(member, dict) and ctx.draft == E.DRAFT3:
+                    # draft3 array members may themselves be schemas
+                    # (check_dependency_array → check_dependency_value)
+                    req = req & F.coalesce(
+                        compile_predicate(member, value, dtype, ctx,
+                                          _depth + 1), F.lit(True))
         elif isinstance(dep, dict):
             req = F.coalesce(
                 compile_predicate(dep, value, dtype, ctx, _depth + 1),
@@ -711,22 +730,55 @@ def _dependencies_predicate(deps: dict, value: Column, dtype: DataType,
     return value.isNull() | F.coalesce(out, F.lit(False))
 
 
+def _py_key_search(pattern: str, name: str) -> bool:
+    """Compile-time key match with kernel/jesse semantics (unanchored
+    ``re.search``; invalid pattern ⇒ no match) for STATIC struct field
+    names — exact PCRE, no vetting needed."""
+    try:
+        return _re.search(pattern, name) is not None
+    except _re.error:
+        return False
+
+
+def _struct_extras(schema: dict, dtype: StructType) -> list:
+    """Struct fields that are 'additional': not named in ``properties``
+    and matching no ``patternProperties`` pattern (static resolution of
+    `jesse_validator_draft3.erl` check_additional_properties)."""
+    known = set((schema.get("properties") or {}).keys())
+    patterns = list((schema.get("patternProperties") or {}).keys())
+    return [f_ for f_ in dtype.fields
+            if f_.name not in known
+            and not any(_py_key_search(p, f_.name) for p in patterns)]
+
+
 def _map_properties_predicate(kw: str, arg: Any, schema: dict, value: Column,
                               dtype: DataType, ctx: CompileContext,
                               _depth: int) -> Optional[Column]:
     if not isinstance(dtype, MapType):
-        if isinstance(dtype, StructType) and kw == "additionalProperties" \
-                and arg is False:
-            known = set((schema.get("properties") or {}).keys())
-            import re as _re
-            patterns = list((schema.get("patternProperties") or {}).keys())
+        if not isinstance(dtype, StructType):
+            return None
+        if kw == "patternProperties" and isinstance(arg, dict):
             out = _true()
-            for f_ in dtype.fields:
-                if f_.name in known:
+            for pattern, sub in arg.items():
+                if not isinstance(sub, dict):
                     continue
-                if any(_re.search(p, f_.name) for p in patterns):
-                    continue
+                for f_ in dtype.fields:
+                    if _py_key_search(pattern, f_.name):
+                        out = out & compile_predicate(
+                            sub, value.getField(f_.name), f_.dataType,
+                            ctx, _depth + 1)
+            return value.isNull() | F.coalesce(out, F.lit(False))
+        if kw == "additionalProperties" and arg is False:
+            out = _true()
+            for f_ in _struct_extras(schema, dtype):
                 out = out & value.getField(f_.name).isNull()
+            return value.isNull() | F.coalesce(out, F.lit(False))
+        if kw == "additionalProperties" and isinstance(arg, dict):
+            out = _true()
+            for f_ in _struct_extras(schema, dtype):
+                out = out & compile_predicate(
+                    arg, value.getField(f_.name), f_.dataType, ctx,
+                    _depth + 1)
             return value.isNull() | F.coalesce(out, F.lit(False))
         return None
     if kw == "patternProperties" and isinstance(arg, dict):
@@ -826,12 +878,15 @@ def compile_plan(schema: dict, struct_type: StructType, *,
                  draft: str = E.DRAFT4, registry=None) -> CompiledPlan:
     """Compile an object schema against a DataFrame's StructType. Top-level
     ``properties`` map to columns; everything else composes recursively."""
+    draft = E.normalize_draft(draft)
     ctx = CompileContext(draft=draft, registry=registry, root_schema=schema)
     plan = CompiledPlan(schema=schema, draft=draft)
     root = _deref(ctx, schema)
     by_name = {f_.name: f_ for f_ in struct_type.fields}
     draft3 = draft == E.DRAFT3
 
+    handled = ("type", "properties") if draft3 \
+        else ("type", "properties", "required")
     for kw, arg in root.items():
         if kw == "properties" and isinstance(arg, dict):
             for name, sub in arg.items():
@@ -866,17 +921,17 @@ def compile_plan(schema: dict, struct_type: StructType, *,
                     plan.checks.append(_viol(
                         E.MISSING_REQUIRED_PROPERTY, F.lit(""), sptr,
                         F.lit(""), detail=name))
-        elif kw == "type":
-            continue  # the row is the object — statically satisfied
-        else:
-            # whole-row keywords (allOf/anyOf/... over the row struct) —
-            # compile as a predicate over a synthetic struct of all columns
-            row = F.struct(*[F.col(f_.name) for f_ in struct_type.fields])
-            p = _keyword_predicate(kw, arg, root, row, struct_type, ctx, 0)
-            if p is not None:
-                plan.checks.append(F.when(
-                    ~F.coalesce(p, F.lit(True)),
-                    _viol(_atom_for(kw), F.lit(""), "/" + kw, F.lit(""))))
+    if any(kw not in handled for kw in root):
+        # whole-row keywords (dependencies / combinators / pattern- and
+        # additionalProperties over the row struct): compile through the
+        # full sub-error-propagating checks path with the root schema
+        # visible for sibling lookups — per-keyword predicate collapsing
+        # here is what the differential fuzz suite caught in round 3
+        row = F.struct(*[F.col(f_.name) for f_ in struct_type.fields])
+        s, a = _compile_checks(root, row, struct_type, F.lit(""), "",
+                               ctx, 0, skip=handled)
+        plan.checks.extend(s)
+        plan.array_checks.extend(a)
     try:
         plan.row_gate = _row_gate(root, struct_type, ctx)
     except CompileError:
@@ -927,24 +982,21 @@ def _atom_for(kw: str) -> str:
         "anyOf": E.ANY_SCHEMAS_NOT_VALID,
         "oneOf": E.NOT_ONE_SCHEMA_VALID,
         "not": E.NOT_SCHEMA_VALID,
-        "allOf": E.ALL_SCHEMAS_NOT_VALID,
-        "enum": E.NOT_IN_RANGE,
-        "minimum": E.NOT_IN_RANGE,
-        "maximum": E.NOT_IN_RANGE,
-        "dependencies": E.MISSING_DEPENDENCY,
         "disallow": E.NOT_ALLOWED,
         "minProperties": E.WRONG_SIZE,
         "maxProperties": E.WRONG_SIZE,
-        "additionalProperties": E.NO_EXTRA_PROPERTIES_ALLOWED,
-        "patternProperties": E.WRONG_TYPE,
     }.get(kw, E.WRONG_TYPE)
 
 
 def _compile_checks(schema: dict, value: Column, dtype: DataType,
                     path: Column, sptr: str, ctx: CompileContext,
-                    depth: int) -> tuple[list[Column], list[Column]]:
+                    depth: int,
+                    skip: tuple = ()) -> tuple[list[Column], list[Column]]:
     """Violation-emitting compile for one value/schema pair. Returns
-    (scalar checks, array checks) — scalar = viol-struct-or-null Column."""
+    (scalar checks, array checks) — scalar = viol-struct-or-null Column.
+    ``skip`` names keywords the caller already compiled (root-level
+    properties/required in ``compile_plan``) while keeping the full
+    schema visible for sibling lookups (additionalProperties extras)."""
     if depth > 48:
         raise CompileError("schema nesting too deep")
     schema = _deref(ctx, schema)
@@ -959,6 +1011,8 @@ def _compile_checks(schema: dict, value: Column, dtype: DataType,
                                     vj if v is None else v)))
 
     for kw, arg in schema.items():
+        if kw in skip:
+            continue
         if kw == "type":
             add(kw, E.WRONG_TYPE,
                 _type_predicate(arg, value, dtype, ctx, depth))
@@ -1021,6 +1075,27 @@ def _compile_checks(schema: dict, value: Column, dtype: DataType,
                                        child_sptr, ctx, depth + 1)
                 scalars.extend(s)
                 arrays.extend(a)
+        elif kw == "properties" and isinstance(arg, dict) \
+                and isinstance(dtype, MapType):
+            for name, sub in arg.items():
+                if not isinstance(sub, dict):
+                    continue
+                child = F.element_at(value, F.lit(name))
+                child_path = F.concat(
+                    path, F.lit("/" + E.pointer_escape(name)))
+                child_sptr = sptr + "/properties/" + E.pointer_escape(name)
+                if draft3 and sub.get("required") is True:
+                    scalars.append(F.when(
+                        value.isNotNull() & ~F.coalesce(
+                            F.map_contains_key(value, F.lit(name)),
+                            F.lit(False)),
+                        _viol(E.MISSING_REQUIRED_PROPERTY, path, child_sptr,
+                              vj, detail=name)))
+                s, a = _compile_checks(sub, child, dtype.valueType,
+                                       child_path, child_sptr, ctx,
+                                       depth + 1)
+                scalars.extend(s)
+                arrays.extend(a)
         elif kw == "required" and not draft3 and isinstance(arg, list) \
                 and isinstance(dtype, StructType):
             names = {f_.name for f_ in dtype.fields}
@@ -1033,10 +1108,171 @@ def _compile_checks(schema: dict, value: Column, dtype: DataType,
                 scalars.append(F.when(cond, _viol(
                     E.MISSING_REQUIRED_PROPERTY, path, sptr + "/required",
                     vj, detail=name)))
-        elif kw in ("allOf", "anyOf", "oneOf", "not", "disallow", "extends",
-                    "dependencies", "minProperties", "maxProperties",
-                    "patternProperties", "additionalProperties", "required",
-                    "properties"):
+        elif kw == "required" and not draft3 and isinstance(arg, list) \
+                and isinstance(dtype, MapType):
+            for name in arg:
+                scalars.append(F.when(
+                    value.isNotNull() & ~F.coalesce(
+                        F.map_contains_key(value, F.lit(name)),
+                        F.lit(False)),
+                    _viol(E.MISSING_REQUIRED_PROPERTY, path,
+                          sptr + "/required", vj, detail=name)))
+        elif kw == "patternProperties" and isinstance(arg, dict) \
+                and isinstance(dtype, StructType):
+            # static field names: compile-time Python-re match — exact
+            # kernel/jesse semantics, no vetting needed
+            for f_ in dtype.fields:
+                for pattern, sub in arg.items():
+                    if not isinstance(sub, dict) \
+                            or not _py_key_search(pattern, f_.name):
+                        continue
+                    child_path = F.concat(
+                        path, F.lit("/" + E.pointer_escape(f_.name)))
+                    psptr = (sptr + "/patternProperties/"
+                             + E.pointer_escape(pattern))
+                    s, a = _compile_checks(sub, value.getField(f_.name),
+                                           f_.dataType, child_path, psptr,
+                                           ctx, depth + 1)
+                    scalars.extend(s)
+                    arrays.extend(a)
+        elif kw == "patternProperties" and isinstance(arg, dict) \
+                and isinstance(dtype, MapType):
+            # runtime keys: per-entry sub-validation with /m/<key> paths
+            # (`jesse_validator_draft3.erl` check_pattern_properties) —
+            # key match via vetted Java regex inside a map-entry lambda
+            for pattern, sub in arg.items():
+                if not isinstance(sub, dict):
+                    continue
+                _require_vetted_key_pattern(pattern)
+                jp = java_vetted_pattern(pattern)
+                psptr = (sptr + "/patternProperties/"
+                         + E.pointer_escape(pattern))
+                arrays.append(_map_entry_violations(
+                    sub, value, dtype, path, psptr, ctx, depth,
+                    key_gate=lambda k, _jp=jp: k.rlike(_jp)))
+        elif kw == "additionalProperties" and isinstance(dtype, StructType) \
+                and (arg is False or isinstance(arg, dict)):
+            ap_sptr = sptr + "/additionalProperties"
+            for f_ in _struct_extras(schema, dtype):
+                child = value.getField(f_.name)
+                child_path = F.concat(
+                    path, F.lit("/" + E.pointer_escape(f_.name)))
+                if arg is False:
+                    # one violation per extra property, property name on
+                    # the path (kernel _check_additional_properties)
+                    scalars.append(F.when(
+                        value.isNotNull() & child.isNotNull(),
+                        _viol(E.NO_EXTRA_PROPERTIES_ALLOWED, child_path,
+                              ap_sptr, vj, detail=f_.name)))
+                else:
+                    s, a = _compile_checks(arg, child, f_.dataType,
+                                           child_path, ap_sptr, ctx,
+                                           depth + 1)
+                    scalars.extend(s)
+                    arrays.extend(a)
+        elif kw == "additionalProperties" and isinstance(dtype, MapType) \
+                and (arg is False or isinstance(arg, dict)):
+            ap_sptr = sptr + "/additionalProperties"
+            known = list((schema.get("properties") or {}).keys())
+            patterns = list((schema.get("patternProperties") or {}).keys())
+            for p in patterns:
+                _require_vetted_key_pattern(p)
+
+            def _is_extra(k: Column) -> Column:
+                cond = ~k.isin(known) if known else F.lit(True)
+                for p in patterns:
+                    cond = cond & ~k.rlike(java_vetted_pattern(p))
+                return cond
+
+            if arg is False:
+                arrays.append(F.coalesce(F.array_compact(F.transform(
+                    F.map_entries(value),
+                    lambda e: F.when(_is_extra(e.getField("key")), _viol(
+                        E.NO_EXTRA_PROPERTIES_ALLOWED,
+                        F.concat(path, F.lit("/"),
+                                 _escape_key_col(e.getField("key"))),
+                        ap_sptr, vj, detail=e.getField("key"))))),
+                    _empty_violations()))
+            else:
+                arrays.append(_map_entry_violations(
+                    arg, value, dtype, path, ap_sptr, ctx, depth,
+                    key_gate=_is_extra))
+        elif kw == "dependencies" and isinstance(arg, dict) \
+                and isinstance(dtype, (StructType, MapType)):
+            field_names = {f_.name for f_ in dtype.fields} \
+                if isinstance(dtype, StructType) else None
+
+            def _has(name: str) -> Column:
+                if field_names is not None:
+                    if name in field_names:
+                        return F.coalesce(
+                            value.getField(name).isNotNull(), F.lit(False))
+                    return F.lit(False)
+                return F.coalesce(F.map_contains_key(value, F.lit(name)),
+                                  F.lit(False))
+
+            def _dep_schema_checks(dep_schema: dict, dep_name: str,
+                                   trigger: Column, dep_sptr: str) -> None:
+                # draft3 pushes the dependency name on the instance path
+                # (check_value(DependencyName, ...), reference :600-605);
+                # draft4 validates at the object's own path
+                dpath = F.concat(
+                    path, F.lit("/" + E.pointer_escape(dep_name))) \
+                    if draft3 else path
+                s, a = _compile_checks(dep_schema, value, dtype, dpath,
+                                       dep_sptr, ctx, depth + 1)
+                scalars.extend(F.when(trigger, c) for c in s)
+                arrays.extend(
+                    F.when(trigger, x).otherwise(_empty_violations())
+                    for x in a)
+
+            for dep_name, dep in arg.items():
+                trigger = value.isNotNull() & _has(dep_name)
+                dep_sptr = (sptr + "/dependencies/"
+                            + E.pointer_escape(dep_name))
+                members = [dep] if isinstance(dep, str) \
+                    else dep if isinstance(dep, list) else None
+                if members is not None:
+                    # one missing_dependency PER missing name
+                    # (check_dependency_array folds per member)
+                    for member in members:
+                        if isinstance(member, str):
+                            scalars.append(F.when(
+                                trigger & ~_has(member),
+                                _viol(E.MISSING_DEPENDENCY, path, dep_sptr,
+                                      vj, detail=member)))
+                        elif isinstance(member, dict) and draft3:
+                            _dep_schema_checks(member, dep_name, trigger,
+                                               dep_sptr)
+                elif isinstance(dep, dict):
+                    _dep_schema_checks(dep, dep_name, trigger, dep_sptr)
+                else:
+                    raise CompileError("wrong_type_dependency in schema")
+        elif kw == "extends" and draft3:
+            # full sub-error propagation at the same instance path
+            # (kernel _descend(ctx, None, ["extends"], ...))
+            subs = [(None, arg)] if isinstance(arg, dict) else \
+                list(enumerate(arg)) if isinstance(arg, list) else []
+            for i, sub in subs:
+                if not isinstance(sub, dict):
+                    continue
+                esptr = sptr + "/extends" + ("" if i is None else f"/{i}")
+                s, a = _compile_checks(sub, value, dtype, path, esptr, ctx,
+                                       depth + 1)
+                scalars.extend(s)
+                arrays.extend(a)
+        elif kw == "allOf" and not draft3 and isinstance(arg, list):
+            # allOf propagates each subschema's own violations (kernel
+            # _validate_draft4 descends per member, no collapsing)
+            for i, sub in enumerate(arg):
+                if not isinstance(sub, dict):
+                    continue
+                s, a = _compile_checks(sub, value, dtype, path,
+                                       sptr + f"/allOf/{i}", ctx, depth + 1)
+                scalars.extend(s)
+                arrays.extend(a)
+        elif kw in ("anyOf", "oneOf", "not", "disallow",
+                    "minProperties", "maxProperties"):
             p = _keyword_predicate(kw, arg, schema, value, dtype, ctx, depth)
             if p is not None:
                 kind_atom = _atom_for(kw)
@@ -1045,6 +1281,38 @@ def _compile_checks(schema: dict, value: Column, dtype: DataType,
                                             vj)))
         # format and unknown keywords: vacuous
     return scalars, arrays
+
+
+def _map_entry_violations(sub: dict, value: Column, dtype: MapType,
+                          path: Column, sptr: str, ctx: CompileContext,
+                          depth: int, key_gate=None) -> Column:
+    """Per-entry violations for a map column: each entry whose key
+    passes ``key_gate`` is validated against ``sub`` at path
+    ``<map>/<escaped-key>`` — the expression twin of the kernel's
+    per-property descend for patternProperties / schema-valued
+    additionalProperties. Fully JVM-side (map_entries + transform)."""
+    from dataclasses import replace as _replace
+    lctx = ctx if ctx.in_lambda else _replace(ctx, in_lambda=True)
+
+    def per_entry(e: Column) -> Column:
+        k = e.getField("key")
+        epath = F.concat(path, F.lit("/"), _escape_key_col(k))
+        s, a = _compile_checks(sub, e.getField("value"), dtype.valueType,
+                               epath, sptr, lctx, depth + 1)
+        parts: list[Column] = []
+        if s:
+            parts.append(F.array_compact(F.array(*s)))
+        parts.extend(a)
+        if not parts:
+            return _empty_violations()
+        built = parts[0] if len(parts) == 1 else F.concat(*parts)
+        if key_gate is None:
+            return built
+        return F.when(key_gate(k), built).otherwise(_empty_violations())
+
+    return F.coalesce(
+        F.flatten(F.transform(F.map_entries(value), per_entry)),
+        _empty_violations())
 
 
 def _tuple_items_checks(subs: list, schema: dict, value: Column,

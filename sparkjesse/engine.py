@@ -147,7 +147,7 @@ class ValidationEngine:
     def __init__(self, registry: Optional[SchemaRegistry] = None,
                  default_draft: str = E.DRAFT4) -> None:
         self.registry = registry if registry is not None else SchemaRegistry()
-        self.default_draft = default_draft
+        self.default_draft = E.normalize_draft(default_draft)
 
     # -- registry passthrough (jesse.erl:49-75 equivalents) ---------------
     def add_schema(self, key: str, schema: Any) -> None:
@@ -196,7 +196,7 @@ class ValidationEngine:
         lambda) transparently fall back to the Arrow-batched Python
         kernel over ``to_json`` — same outputs, slower path."""
         schema = self._resolve(schema_or_key)
-        draft = draft or self._draft_of(schema)
+        draft = E.normalize_draft(draft) if draft else self._draft_of(schema)
         try:
             plan = compile_plan(schema, df.schema, draft=draft,
                                 registry=self.registry)
@@ -270,7 +270,7 @@ class ValidationEngine:
         jesse maps ``{parse_error, E}``. Default: ``json.loads``. The
         callable must be picklable (it ships in the UDF closure)."""
         schema = self._resolve(schema_or_key)
-        draft = draft or self._draft_of(schema)
+        draft = E.normalize_draft(draft) if draft else self._draft_of(schema)
         registry_snapshot = {k: self.registry.read(k)
                              for k in self.registry.keys()}
         parse = parser if parser is not None else json.loads

@@ -63,6 +63,24 @@ DRAFT3_URI = "http://json-schema.org/draft-03/schema"
 DRAFT4_URI = "http://json-schema.org/draft-04/schema"
 
 
+def normalize_draft(draft: str) -> str:
+    """Accept either the internal atom (``draft3``/``draft4``) or the
+    ``$schema`` URI a jesse user would pass as ``default_schema_ver``
+    (`jesse.erl` option ``default_schema_ver``, a URI binary); reject
+    anything else loudly — before this, a URI passed as
+    ``default_draft`` silently compared unequal to the atom and fell
+    through to draft-4 semantics."""
+    if draft in (DRAFT3, DRAFT4):
+        return draft
+    if isinstance(draft, str):
+        if draft.startswith(DRAFT3_URI):
+            return DRAFT3
+        if draft.startswith(DRAFT4_URI):
+            return DRAFT4
+    raise ValueError(f"unsupported draft {draft!r}: pass "
+                     f"{DRAFT3!r}/{DRAFT4!r} or a draft-03/-04 $schema URI")
+
+
 def pointer_escape(segment: object) -> str:
     """RFC 6901 escaping for one pointer segment."""
     s = str(segment)

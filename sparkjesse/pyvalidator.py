@@ -180,7 +180,7 @@ def validate_value(schema: Any, value: Any, *, registry=None,
     ctx = _Ctx(schema, registry=registry, max_errors=max_errors,
                error_handler=error_handler)
     try:
-        _validate(ctx, schema, value, default_draft)
+        _validate(ctx, schema, value, E.normalize_draft(default_draft))
     except ViolationsAborted as stop:
         return stop.violations
     if max_errors is not None and error_handler is None:

@@ -427,3 +427,25 @@ def test_row_gate_equals_no_violations(spark):
                         (F.size(plan.violations_column()) == 0).alias("v"))
         drift = out.where(F.col("g") != F.col("v")).count()
         assert drift == 0, (schema, draft)
+
+
+# ---------------------------------------------------------------------------
+# default_draft accepts jesse-style $schema URIs
+# ---------------------------------------------------------------------------
+
+def test_default_draft_accepts_schema_uri():
+    """jesse's ``default_schema_ver`` option is the $schema URI binary
+    (`jesse.erl:63`); passing that URI as ``default_draft`` must select
+    the matching semantics — before normalization it silently compared
+    unequal to the internal atom and fell through to draft-4, dropping
+    draft-3-only keywords like ``extends``."""
+    schema = {"type": "object",
+              "extends": {"properties": {"b": {"minLength": 2}}}}
+    uri = E.DRAFT3_URI + "#"
+    errs = validate_value(schema, {"b": "x"}, default_draft=uri)
+    assert [(e.error_type, e.path) for e in errs] == [("wrong_length", "/b")]
+    eng = ValidationEngine(default_draft=uri)
+    assert eng.default_draft == E.DRAFT3
+    assert E.normalize_draft(E.DRAFT4_URI) == E.DRAFT4
+    with pytest.raises(ValueError):
+        E.normalize_draft("http://json-schema.org/draft-06/schema#")
