@@ -20,8 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkjesse import dataset_checks as dc
-from sparkjesse import dedup, sampling, similarity, textops, timeops
+from sparkjesse import dedup, sampling, scrub, similarity, textops, timeops
 from sparkjesse import multimodal as mm
+from sparkjesse import urlops
 from sparkjesse.engine import ValidationEngine
 from sparkjesse.errors import DRAFT3
 
@@ -546,6 +547,70 @@ def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample_plan(_mm_media(spark), fps=1.0)
 
 
+# -- PII scrub + URL hygiene (synthetic deterministic injections) -----------
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic PII strings derived from doc_id —
+    the base corpus is lowercase letters only (no false positives), so
+    every detection below is an injected span. The oracle builds the
+    identical text in SQL."""
+    d = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.when(d % 7 == 0,
+               F.concat(F.lit(" contact bob"), d.cast("string"),
+                        F.lit("@mail.example.org now")))
+         .otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit(" call 555-123-4567"))
+         .otherwise(F.lit("")),
+        F.when(d % 13 == 0,
+               F.concat(F.lit(" from 10.0.0."), (d % 255).cast("string")))
+         .otherwise(F.lit("")),
+        F.when(d % 17 == 0, F.lit(" ref 123-45-6789"))
+         .otherwise(F.lit("")))
+    return _docs(spark, sf_dir).select("doc_id", txt.alias("text"))
+
+
+def _txt_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scrub.pii_signals(_pii_docs(spark, sf_dir))
+
+
+def _txt_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scrub.redact_pii(_pii_docs(spark, sf_dir))
+
+
+def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic URLs: mixed case, optional default /
+    explicit ports, trailing slashes, query strings; 3 hot hosts (60%
+    of docs) + 97 cold hosts — a power-law-ish host histogram for the
+    cap filter."""
+    d = F.col("doc_id")
+    host_idx = F.when(d % 100 < 60, d % 3).otherwise(d % 97)
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP")),
+        F.lit("://"),
+        F.lit("host"), host_idx.cast("string"), F.lit(".Example.com"),
+        F.when(d % 5 == 0, F.lit(":8080"))
+         .when((d % 5 == 1) & (d % 2 == 0), F.lit(":443"))
+         .when((d % 5 == 1) & (d % 2 == 1), F.lit(":80"))
+         .otherwise(F.lit("")),
+        F.lit("/p/"), d.cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("?q=1&r=2")).otherwise(F.lit("")))
+    return _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+
+
+def _web_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _url_docs(spark, sf_dir)
+    return (urlops.url_components(df)
+            .join(urlops.canonical_urls(df), "doc_id"))
+
+
+def _web_hostcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return urlops.host_cap_filter(_url_docs(spark, sf_dir),
+                                  max_per_host=50)
+
+
 # -- similarity search ------------------------------------------------------
 
 def _sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -640,6 +705,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_vocab": _txt_vocab,
         "txt_encode": _txt_encode,
         "txt_filter": _txt_filter,
+        "txt_pii": _txt_pii,
+        "txt_redact": _txt_redact,
+        "web_urls": _web_urls,
+        "web_hostcap": _web_hostcap,
         "dd_exact": _dd_exact,
         "dd_minhash": _dd_minhash,
         "dd_simhash": _dd_simhash,
@@ -675,6 +744,51 @@ _VALID_EXPR = (
 )
 
 _TOKS = "string_split(text, ' ')"
+
+# scrub / url twins — patterns restricted to the Java∩RE2∩PCRE-identical
+# subset (see sparkjesse.scrub docstring)
+_PII_EM = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_PII_PH = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_TEXT = (
+    "text"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' contact bob' ||"
+    " CAST(doc_id AS VARCHAR) || '@mail.example.org now' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.0.' ||"
+    " CAST(doc_id % 255 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 17 = 0 THEN ' ref 123-45-6789'"
+    " ELSE '' END")
+# the sequential count/replace chain shared by txt_pii and txt_redact
+_PII_CHAIN = f"""
+p AS (SELECT doc_id, {_PII_TEXT} AS t FROM documents),
+s1 AS (SELECT doc_id, len(regexp_extract_all(t, '{_PII_EM}')) AS n_email,
+         regexp_replace(t, '{_PII_EM}', '[EMAIL]', 'g') AS t FROM p),
+s2 AS (SELECT doc_id, n_email,
+         len(regexp_extract_all(t, '{_PII_SSN}')) AS n_ssn,
+         regexp_replace(t, '{_PII_SSN}', '[ID]', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ssn,
+         len(regexp_extract_all(t, '{_PII_PH}')) AS n_phone,
+         regexp_replace(t, '{_PII_PH}', '[PHONE]', 'g') AS t FROM s2),
+s4 AS (SELECT doc_id, n_email, n_ssn, n_phone,
+         len(regexp_extract_all(t, '{_PII_IP}')) AS n_ipv4,
+         regexp_replace(t, '{_PII_IP}', '[IP]', 'g') AS t FROM s3)"""
+
+_URL_RE_SQL = (r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(?::(\d+))?"
+               r"([^?#]*)(?:\?([^#]*))?")
+_URL_EXPR = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END || '://' ||"
+    " 'host' || CAST(CASE WHEN doc_id % 100 < 60 THEN doc_id % 3"
+    " ELSE doc_id % 97 END AS VARCHAR) || '.Example.com' ||"
+    " CASE WHEN doc_id % 5 = 0 THEN ':8080'"
+    " WHEN doc_id % 5 = 1 AND doc_id % 2 = 0 THEN ':443'"
+    " WHEN doc_id % 5 = 1 AND doc_id % 2 = 1 THEN ':80'"
+    " ELSE '' END ||"
+    " '/p/' || CAST(doc_id AS VARCHAR) ||"
+    " CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||"
+    " CASE WHEN doc_id % 4 = 0 THEN '?q=1&r=2' ELSE '' END")
 
 # distinct word-3-gram shingles of `toks`
 _SHINGLES = (
@@ -1295,6 +1409,55 @@ r AS (SELECT doc_id,
         ], x -> x IS NOT NULL) AS reasons
       FROM s)
 SELECT doc_id, (len(reasons) = 0) AS keep, reasons FROM r
+""",
+        "txt_pii": f"""
+WITH {_PII_CHAIN}
+SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4,
+       n_email + n_ssn + n_phone + n_ipv4 AS n_pii,
+       (n_email + n_ssn + n_phone + n_ipv4) > 0 AS has_pii
+FROM s4
+""",
+        "txt_redact": f"""
+WITH {_PII_CHAIN}
+SELECT doc_id, t AS redacted,
+       n_email + n_ssn + n_phone + n_ipv4 AS n_redacted
+FROM s4
+""",
+        "web_urls": f"""
+WITH u AS (SELECT doc_id, {_URL_EXPR} AS url FROM documents),
+e AS (SELECT doc_id,
+        lower(regexp_extract(url, '{_URL_RE_SQL}', 1)) AS scheme,
+        lower(regexp_extract(url, '{_URL_RE_SQL}', 2)) AS host,
+        regexp_extract(url, '{_URL_RE_SQL}', 3) AS port,
+        regexp_extract(url, '{_URL_RE_SQL}', 4) AS path,
+        regexp_extract(url, '{_URL_RE_SQL}', 5) AS "query"
+      FROM u)
+SELECT doc_id, scheme, host, port, path, "query",
+       CASE WHEN scheme = '' THEN NULL
+            ELSE scheme || '://' || host ||
+              CASE WHEN port = ''
+                     OR (scheme = 'http' AND port = '80')
+                     OR (scheme = 'https' AND port = '443')
+                     OR (scheme = 'ftp' AND port = '21')
+                   THEN '' ELSE ':' || port END ||
+              CASE WHEN path = '' THEN '/'
+                   WHEN path <> '/' AND path LIKE '%/'
+                   THEN substr(path, 1, length(path) - 1)
+                   ELSE path END
+       END AS canonical_url
+FROM e
+""",
+        "web_hostcap": f"""
+WITH u AS (SELECT doc_id, {_URL_EXPR} AS url FROM documents),
+h AS (SELECT doc_id,
+        lower(regexp_extract(url, '{_URL_RE_SQL}', 2)) AS host FROM u),
+c AS (SELECT host, count(*)::BIGINT AS host_docs FROM h GROUP BY host),
+r AS (SELECT doc_id, host,
+        row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+      FROM h)
+SELECT r.doc_id, r.host, c.host_docs,
+       (c.host_docs <= 50 OR r.rn <= 50) AS keep
+FROM r JOIN c USING (host)
 """,
         "dd_exact": f"""
 SELECT array_to_string(list_slice({_TOKS}, 1, 3), ' ') AS dup_key,

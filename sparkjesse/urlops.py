@@ -1,0 +1,131 @@
+"""URL canonicalization and host-level corpus hygiene.
+
+Web-crawl pipelines key almost everything on the URL: canonical form
+for exact URL dedup, the host for spam/SEO-farm caps and per-domain
+mixing quotas. Three operators:
+
+* ``url_components`` — scheme/host/port/path/query per row, extracted
+  with ONE regex whose semantics are identical in Java (Spark), RE2
+  (DuckDB — the oracle), and PCRE. Spark's native ``parse_url`` would
+  also work but has JVM-only corner semantics; a shared regex keeps
+  the oracle bit-for-bit.
+* ``canonical_url`` — lowercased scheme+host, default-port ellision,
+  trailing-slash normalization, query and fragment dropped: the
+  standard exact-URL-dedup key.
+* ``host_cap_filter`` — keep at most ``max_per_host`` docs per host
+  (rank by doc id — deterministic), the classic anti-SEO-farm stage.
+
+Scale: the extractors are pure per-row expressions (scan-speed,
+zero shuffle). ``host_cap_filter`` needs per-host ranks; hosts follow
+a power law, so instead of a single window over raw rows per host
+(one task owns the hottest host), ranks come from a count-then-join:
+per-host counts are a map-side-combined groupBy (shuffle rows =
+#distinct hosts), hosts under the cap pass with NO row shuffle at all
+(semi-join on the small passing-host set), and only rows of the few
+over-cap hosts enter the rank window — bounded by cap × #hot-hosts.
+
+Reference scope note: jesse has no URL stage; this is north-star
+training-pipeline surface (SURVEY §2.6) alongside dedup and scrub.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# one RFC-3986-ish matcher, groups: 1=scheme 2=host 3=port 4=path 5=query
+URL_RE = (r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(?::(\d+))?"
+          r"([^?#]*)(?:\?([^#]*))?")
+
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
+
+
+def url_components(df: DataFrame, url_col: str = "url",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-row URL parse: ``(id, scheme, host, port, path, query)``.
+    Unparseable URLs yield empty strings (regexp_extract's no-match
+    value in both engines); port is '' when absent."""
+    u = F.col(url_col)
+    return df.select(
+        F.col(id_col),
+        F.lower(F.regexp_extract(u, URL_RE, 1)).alias("scheme"),
+        F.lower(F.regexp_extract(u, URL_RE, 2)).alias("host"),
+        F.regexp_extract(u, URL_RE, 3).alias("port"),
+        F.regexp_extract(u, URL_RE, 4).alias("path"),
+        F.regexp_extract(u, URL_RE, 5).alias("query"))
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Canonical exact-dedup key for one URL column: lowercase scheme
+    and host, drop a default port (explicit non-default ports kept),
+    drop query/fragment, strip ONE trailing slash from a non-root
+    path, normalize an empty path to '/'."""
+    scheme = F.lower(F.regexp_extract(url, URL_RE, 1))
+    host = F.lower(F.regexp_extract(url, URL_RE, 2))
+    port = F.regexp_extract(url, URL_RE, 3)
+    path = F.regexp_extract(url, URL_RE, 4)
+    is_default = port == F.lit("")
+    for sch, p in _DEFAULT_PORTS.items():
+        is_default = is_default | ((scheme == sch) & (port == p))
+    portpart = F.when(is_default, F.lit("")) \
+                .otherwise(F.concat(F.lit(":"), port))
+    norm_path = F.when(path == "", F.lit("/")) \
+                 .when((path != "/") & path.endswith("/"),
+                       F.substring(path, 1, F.length(path) - 1)) \
+                 .otherwise(path)
+    return F.when(scheme == "", F.lit(None).cast("string")) \
+            .otherwise(F.concat(scheme, F.lit("://"), host, portpart,
+                                norm_path))
+
+
+def canonical_urls(df: DataFrame, url_col: str = "url",
+                   id_col: str = "doc_id") -> DataFrame:
+    """``(id, canonical_url)`` — feed straight into
+    ``dedup.exact_duplicate_groups(key="canonical_url")``."""
+    return df.select(F.col(id_col),
+                     canonical_url_col(F.col(url_col))
+                     .alias("canonical_url"))
+
+
+def host_cap_filter(df: DataFrame, url_col: str = "url",
+                    id_col: str = "doc_id", *,
+                    max_per_host: int = 100) -> DataFrame:
+    """Keep at most ``max_per_host`` docs per host: ``(id, host,
+    host_docs, keep)`` with the keepers chosen by ascending doc id
+    (deterministic in any engine).
+
+    Skew-aware by construction — hosts follow a power law, and a rank
+    window over raw rows would put the hottest host's 10^9 rows in ONE
+    task. Instead the keeper set is a two-stage bounded min-k: stage 1
+    takes each input partition's ``cap`` smallest ids per host (agg
+    buffer bounded by the partition's own row count, itself bounded by
+    ``maxPartitionBytes``); stage 2 merges the partials to the global
+    ``cap`` smallest per host (buffer ≤ cap × #partials). min-k is
+    associative and commutative, so the result is independent of the
+    partitioning — retry-safe. Rows of under-cap hosts never consult
+    the keeper list (``host_docs <= cap`` short-circuits), so the
+    keeper arrays — ≤ cap ids — are only shipped to the few hot
+    hosts' rows through the one hash join on host."""
+    hosts = df.select(F.col(id_col),
+                      F.lower(F.regexp_extract(F.col(url_col), URL_RE, 2))
+                      .alias("host"))
+    counts = hosts.groupBy("host").agg(
+        F.count(F.lit(1)).alias("host_docs"))
+    partial = (hosts
+               .groupBy("host", F.spark_partition_id().alias("__p__"))
+               .agg(F.slice(F.sort_array(F.collect_list(id_col)),
+                            1, max_per_host).alias("ids")))
+    keepers = (partial.groupBy("host")
+               .agg(F.slice(F.sort_array(F.flatten(
+                    F.collect_list("ids"))), 1, max_per_host)
+                    .alias("keep_ids")))
+    # meta is #distinct-host rows (tiny next to the corpus) — pin the
+    # broadcast there; left to its size estimates Spark can pick the
+    # corpus side as the build side (observed on cached inputs), which
+    # at 10^12 rows would broadcast the corpus
+    meta = F.broadcast(counts.join(keepers, "host"))
+    return (hosts.join(meta, "host")
+                 .select(F.col(id_col), F.col("host"), F.col("host_docs"),
+                         ((F.col("host_docs") <= max_per_host)
+                          | F.array_contains(F.col("keep_ids"),
+                                             F.col(id_col))).alias("keep")))

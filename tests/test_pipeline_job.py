@@ -47,3 +47,36 @@ def test_pipeline_job_end_to_end(spark, tmp_path, monkeypatch):
     vocab = spark.read.parquet(out + "/vocab")
     ids = sorted(r["token_id"] for r in vocab.collect())
     assert ids == list(range(len(ids)))
+
+
+def test_pipeline_job_host_cap_and_redaction(spark, tmp_path, monkeypatch):
+    """--url-col adds the host-cap stage; PII injected into two docs is
+    redacted in the written output and counted in the stats ledger."""
+    sys.path.insert(0, "/root/repo/tools")
+    import pipeline_job
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out2")
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .withColumn("url", F.concat(
+                F.lit("https://h"), (F.col("doc_id") % 3).cast("string"),
+                F.lit(".ex.com/p/"), F.col("doc_id").cast("string")))
+            .withColumn("text", F.when(
+                F.col("doc_id") < 2,
+                F.concat(F.col("text"), F.lit(" mail a@b.co now")))
+                .otherwise(F.col("text"))))
+    docs.write.parquet(src)
+
+    monkeypatch.setattr(sys, "argv", [
+        "pipeline_job.py", "--input", src, "--output", out,
+        "--vocab-size", "16", "--partitions", "2",
+        "--url-col", "url", "--max-per-host", "10",
+    ])
+    pipeline_job.main()
+    with open(out + "_stats.json", encoding="utf-8") as fh:
+        stats = json.load(fh)
+    assert stats["after_host_cap"] <= 30  # 3 hosts x cap 10
+    final = spark.read.parquet(out + "/docs")
+    assert final.where(F.col("text").contains("a@b.co")).count() == 0
+    n_kept_pii = final.where(F.col("text").contains("[EMAIL]")).count()
+    assert stats["pii_redactions"] >= n_kept_pii

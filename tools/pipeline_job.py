@@ -16,10 +16,17 @@ The standard LLM data-prep chain, every stage a sparkjesse operator:
      banding + ``duplicate_clusters`` canonical-keep);
   5. benchmark decontamination (``dedup.decontaminate_report``,
      broadcast n-gram overlap) when ``--benchmark`` is given;
-  6. vocabulary build + token-id encoding (``textops.build_vocab`` /
+  6. PII redaction (``scrub.redact_pii``) with an aggregate redaction
+     count in the stats ledger — after dedup (identical PII spans must
+     not be hidden from the dedup keys), before anything is written;
+  7. vocabulary build + token-id encoding (``textops.build_vocab`` /
      ``encode_documents``);
-  7. range-sorted parquet output (``sources.write_range_sorted``) so
+  8. range-sorted parquet output (``sources.write_range_sorted``) so
      downstream consumers get zone-map-prunable, merge-ready files.
+
+With ``--url-col`` (a URL column present in the input), stage 2 also
+applies the host-cap filter (``urlops.host_cap_filter`` — anti-SEO-farm
+cap, bounded two-stage min-k) before quality filtering.
 
 Shuffle ledger for the whole job: sample and filter are pure maps;
 exact dedup and encode each shuffle once on doc-sized rows; SimHash
@@ -43,12 +50,15 @@ def main() -> None:
     ap.add_argument("--vocab-size", type=int, default=65536)
     ap.add_argument("--partitions", type=int, default=256)
     ap.add_argument("--max-hamming", type=int, default=3)
+    ap.add_argument("--url-col", default=None)
+    ap.add_argument("--max-per-host", type=int, default=10000)
+    ap.add_argument("--no-redact", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from sparkjesse import dedup, sampling, sources, textops
+    from sparkjesse import dedup, sampling, scrub, sources, textops, urlops
 
     spark = SparkSession.builder.appName("sparkjesse-pipeline") \
         .getOrCreate()
@@ -59,6 +69,14 @@ def main() -> None:
     if args.sample < 1.0:
         docs = sampling.deterministic_sample(docs, "doc_id", args.sample)
         stats["sampled"] = docs.count()
+
+    # 1.5 host-cap (only when the input carries a URL column)
+    if args.url_col:
+        capped = urlops.host_cap_filter(docs, url_col=args.url_col,
+                                        max_per_host=args.max_per_host)
+        docs = docs.join(capped.where(F.col("keep")).select("doc_id"),
+                         "doc_id")
+        stats["after_host_cap"] = docs.count()
 
     # 2. quality filter + drop report
     verdicts = textops.quality_filter(docs)
@@ -95,7 +113,18 @@ def main() -> None:
         docs = docs.join(contaminated, "doc_id", "left_anti")
         stats["after_decontaminate"] = docs.count()
 
-    # 6. vocabulary + encoding
+    # 6. PII redaction — after dedup (identical spans stay visible to
+    # the dedup keys), before anything leaves the pipeline
+    if not args.no_redact:
+        red = scrub.redact_pii(docs)
+        docs = (docs.drop("text")
+                    .join(red.withColumnRenamed("redacted", "text"),
+                          "doc_id"))
+        stats["pii_redactions"] = (docs.agg(
+            F.sum("n_redacted")).collect()[0][0] or 0)
+        docs = docs.drop("n_redacted")
+
+    # 7. vocabulary + encoding
     vocab = textops.build_vocab(docs, min_count=2,
                                 max_size=args.vocab_size)
     vocab.write.mode("overwrite").parquet(f"{args.output}/vocab")
