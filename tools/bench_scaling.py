@@ -103,9 +103,13 @@ docs = spark.read.parquet({path!r})
 # parallelism levels, so it cannot bias the efficiency ratio.
 warm = spark.read.parquet({path!r}).limit(100_000)
 detect_hot_keys(warm, "doc_id", sample_fraction=0.5)
+# sum("fail") forces the `valid` column: without it Catalyst prunes
+# the ENTIRE validation expression out of the warmup plan, so the
+# timed region paid the one-off driver-side codegen+JIT of the
+# validator — a fixed cost that biases AGAINST the (shorter) 4N walls
 ValidationEngine().validate(warm, INTERLEAVED_SCHEMA) \
     .key_aligned_summary(cores * 4) \
-    .agg(F.sum("docs")).collect()
+    .agg(F.sum("docs"), F.sum("fail")).collect()
 
 # ---- interference sentinel -------------------------------------------
 # The sandbox hypervisor interleaves noisy-neighbor episodes lasting
