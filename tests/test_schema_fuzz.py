@@ -46,7 +46,8 @@ N_CASES = int(os.environ.get("SPARKJESSE_FUZZ_CASES", "40"))
 
 ROW_SCHEMA = ("doc_id long, i long, d double, s string, "
               "ls array<long>, ss array<string>, "
-              "st struct<a:long, b:string>, m map<string,long>")
+              "st struct<a:long, b:string>, m map<string,long>, "
+              "sa array<struct<x:long, y:string>>")
 
 I_POOL = [None, 0, 1, -1, 2, 3, 5, 7, 10, 100]
 D_POOL = [None, 0.0, 1.0, 1.5, -2.5, 3.0, 10.0, 0.1]
@@ -59,6 +60,9 @@ ST_POOL = [None, {"a": 1, "b": "x"}, {"a": None, "b": "y"},
            {"a": 5, "b": None}, {"a": -3, "b": "abc"}]
 M_POOL = [None, {}, {"k1": 1}, {"k1": 1, "k2": 2}, {"zz": 9},
           {"k3": -1, "k1": 4}]
+SA_POOL = [None, [], [{"x": 1, "y": "a"}], [{"x": 5, "y": None}],
+           [{"x": 1, "y": "a"}, {"x": -2, "y": "bb"}],
+           [{"x": None, "y": "c"}, {"x": 3, "y": "a"}]]
 
 
 def _make_rows():
@@ -70,22 +74,25 @@ def _make_rows():
             rng.choice(I_POOL), rng.choice(D_POOL), rng.choice(S_POOL),
             rng.choice(LS_POOL), rng.choice(SS_POOL),
             rng.choice(ST_POOL), rng.choice(M_POOL),
+            rng.choice(SA_POOL),
         ))
     return rows
 
 
+def _clean(v):
+    """Strip SQL NULLs recursively: NULL field/element means ABSENT
+    (matches ``to_json``, which omits null fields)."""
+    if isinstance(v, dict):
+        return {k: _clean(x) for k, x in v.items() if x is not None}
+    if isinstance(v, list):
+        return [_clean(x) for x in v]
+    return v
+
+
 def _doc_of(row: dict):
-    """Typed row → kernel JSON doc under the engine convention:
-    SQL NULL means ABSENT, recursively (matches ``to_json`` which
-    omits null fields)."""
-    doc = {}
-    for k, v in row.items():
-        if k == "doc_id" or v is None:
-            continue
-        if isinstance(v, dict):
-            v = {kk: vv for kk, vv in v.items() if vv is not None}
-        doc[k] = v
-    return doc
+    """Typed row → kernel JSON doc under the engine convention."""
+    return {k: _clean(v) for k, v in row.items()
+            if k != "doc_id" and v is not None}
 
 
 # ---------------------------------------------------------------------------
@@ -183,6 +190,46 @@ def _struct_constraints(rng, draft):
     out = {"type": "object", "properties": props}
     if draft == E.DRAFT4 and rng.random() < 0.4 and props:
         out["required"] = rng.sample(list(props), k=1)
+    # struct-typed patternProperties / additionalProperties resolve
+    # key-matching at COMPILE time (static field names)
+    if rng.random() < 0.3:
+        out["patternProperties"] = {
+            rng.choice(["^a", "b", "[ab]"]):
+                (_int_constraints(rng, draft) if rng.random() < 0.5
+                 else {"type": ["integer", "string"]})}
+    if rng.random() < 0.25:
+        out["additionalProperties"] = rng.choice(
+            [False, {"type": "string", "maxLength": 3}])
+        if "properties" in out and rng.random() < 0.5:
+            out["properties"].pop(rng.choice(["a", "b"]), None)
+    if draft == E.DRAFT3 and rng.random() < 0.25:
+        ext = {"properties": {"a": {"maximum": 5}}}
+        out["extends"] = ext if rng.random() < 0.5 else \
+            [ext, {"properties": {"b": {"minLength": 1}}}]
+    return out
+
+
+def _struct_array_constraints(rng, draft):
+    """array<struct> column: object schemas under ``items`` (single and
+    tuple form) — per-element pointer paths through array_checks."""
+    elem = {"type": "object", "properties": {}}
+    if rng.random() < 0.8:
+        ex = _int_constraints(rng, draft)
+        if draft == E.DRAFT3 and rng.random() < 0.3:
+            ex["required"] = True
+        elem["properties"]["x"] = ex
+    if rng.random() < 0.7:
+        elem["properties"]["y"] = _str_constraints(rng, draft)
+    if draft == E.DRAFT4 and rng.random() < 0.3 and elem["properties"]:
+        elem["required"] = rng.sample(list(elem["properties"]), k=1)
+    out = {"type": "array"}
+    if rng.random() < 0.6:
+        out["items"] = elem
+    else:
+        out["items"] = [elem]
+        out["additionalItems"] = rng.choice([True, False, elem])
+    if rng.random() < 0.4:
+        out["minItems"] = rng.randint(0, 2)
     return out
 
 
@@ -241,7 +288,14 @@ def gen_schema(rng: random.Random, draft: str) -> dict:
         props["st"] = _struct_constraints(rng, draft)
     if rng.random() < 0.4:
         props["m"] = _map_constraints(rng, draft)
+    if rng.random() < 0.4:
+        props["sa"] = _struct_array_constraints(rng, draft)
     schema = {"type": "object", "properties": props}
+    if rng.random() < 0.2 and "i" in props:
+        # local $ref through definitions (compile-time deref on both
+        # paths; draft4 ignores ref siblings)
+        schema["definitions"] = {"ic": props["i"]}
+        props["i"] = {"$ref": "#/definitions/ic"}
     if draft == E.DRAFT3:
         for p in list(props):
             if rng.random() < 0.2 and isinstance(props[p], dict) \
@@ -274,7 +328,7 @@ def test_fuzz_catalyst_vs_kernel(spark, draft):
     df = spark.createDataFrame(rows, ROW_SCHEMA).persist()
     df.count()
     docs = {r[0]: _doc_of(dict(zip(
-        ["doc_id", "i", "d", "s", "ls", "ss", "st", "m"], r)))
+        ["doc_id", "i", "d", "s", "ls", "ss", "st", "m", "sa"], r)))
         for r in rows}
 
     eng = ValidationEngine(default_draft=draft)
