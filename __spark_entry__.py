@@ -216,6 +216,43 @@ def _kw_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.annotated.select("doc_id", "valid")
 
 
+def _kw_draft3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined draft3 keyword smoke query — uniqueItems/min/maxItems,
+    divisibleBy, patternProperties+additionalProperties over MapType,
+    and union type with an inline-schema member — one row per doc with
+    a per-keyword verdict column. Folded from four single-keyword
+    queries to fit the driver's 50-query oracle budget (round-3
+    VERDICT "What's wrong #3"); exhaustive per-keyword coverage lives
+    in the 388-fixture conformance suite (tests/test_conformance_*).
+    Each leg is a zero-shuffle map-side validation; the joins are a
+    smoke-fixture convenience, not the scale shape."""
+    a = _kw_uniqueitems(spark, sf_dir).select(
+        "doc_id", F.col("valid").alias("uniq_valid"),
+        F.col("n_violations").alias("uniq_nv"))
+    b = _kw_divisible(spark, sf_dir).select(
+        "doc_id", F.col("valid").alias("div_valid"))
+    c = _kw_map_props(spark, sf_dir).select(
+        "doc_id", F.col("valid").alias("map_valid"))
+    d = _kw_union_type(spark, sf_dir).select(
+        "doc_id", F.col("valid").alias("union_valid"))
+    return a.join(b, "doc_id").join(c, "doc_id").join(d, "doc_id")
+
+
+def _kw_draft4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined draft4 keyword smoke query — oneOf, multipleOf,
+    allOf+not, array-form dependencies — one verdict column each
+    (same budget-fold rationale as ``_kw_draft3``)."""
+    a = _kw_oneof(spark, sf_dir).select(
+        "doc_id", F.col("valid").alias("oneof_valid"))
+    b = _kw_multipleof(spark, sf_dir).select(
+        "doc_id", F.col("valid").alias("mof_valid"))
+    c = _kw_allof_not(spark, sf_dir).select(
+        "doc_id", F.col("valid").alias("anot_valid"))
+    d = _kw_dependencies(spark, sf_dir).select(
+        "doc_id", F.col("valid").alias("dep_valid"))
+    return a.join(b, "doc_id").join(c, "doc_id").join(d, "doc_id")
+
+
 def _v_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-JSON validation through the Arrow-batched pandas UDF
     kernel (engine.validate_json) — the non-Catalyst leg of the
@@ -282,20 +319,21 @@ def _ds_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ds_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both referential directions in one two-row report: dangling
+    fact keys (lineitem.l_partkey ∉ part — broadcast left-anti) and
+    orphan dimension rows (part rows never referenced — shuffle-side
+    left-anti, the fact side is too big to broadcast). Folded from two
+    queries to fit the driver's 50-query oracle budget."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    return (dc.dangling_references(li, "l_partkey", part, "p_partkey")
-            .groupBy().agg(F.count(F.lit(1)).alias("dangling")))
-
-
-def _ds_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reverse referential: dimension rows never referenced by the fact
-    table (left-anti with the fact side as reference set)."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part")
-    return (dc.dangling_references(part, "p_partkey", li, "l_partkey",
-                                   broadcast_ref=False)
-            .select("p_partkey"))
+    dangling = (dc.dangling_references(li, "l_partkey", part, "p_partkey")
+                .groupBy().agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit("dangling_fact_keys").alias("check"), "n"))
+    orphans = (dc.dangling_references(part, "p_partkey", li, "l_partkey",
+                                      broadcast_ref=False)
+               .groupBy().agg(F.count(F.lit(1)).alias("n"))
+               .select(F.lit("orphan_dim_rows").alias("check"), "n"))
+    return dangling.unionAll(orphans)
 
 
 def _ds_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,9 +452,17 @@ def _txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _txt_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index with df-bounded, capped posting lists (stopword
-    mega-lists dropped BEFORE any list materializes)."""
-    return textops.inverted_index(_docs(spark, sf_dir),
-                                  max_df=400, cap=20)
+    mega-lists dropped BEFORE any list materializes). Postings are
+    serialized to a comma-joined string IN THE RESULT SHAPE ONLY —
+    the driver's canonicalizer cannot sort/hash array cells (round-3
+    VERDICT "What's wrong #2"); the operator itself keeps the typed
+    array column."""
+    idx = textops.inverted_index(_docs(spark, sf_dir), max_df=400, cap=20)
+    return idx.select(
+        "token", "df",
+        F.array_join(F.transform("postings",
+                                 lambda x: x.cast("string")), ",")
+         .alias("postings"))
 
 
 def _txt_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,25 +473,44 @@ def _txt_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _txt_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-id sequence encoding against a capped vocab (top-16) —
-    OOV maps to -1, order and length preserved."""
+    OOV maps to -1, order and length preserved; zero-shuffle broadcast-
+    vocab pandas UDF (`textops.encode_documents`). Ids are serialized
+    to a comma-joined string in the result shape only (canonicalizer
+    cannot hash arrays)."""
     docs = _docs(spark, sf_dir)
     vocab = textops.build_vocab(docs, max_size=16)
-    return textops.encode_documents(docs, vocab)
+    enc = textops.encode_documents(docs, vocab)
+    return enc.select(
+        "doc_id",
+        F.array_join(F.transform("ids", lambda x: x.cast("string")), ",")
+         .alias("ids"),
+        "n_oov")
 
 
 def _txt_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style hard filter with per-rule audit reasons."""
-    return textops.quality_filter(
+    """Gopher-style hard filter with per-rule audit reasons (comma-
+    joined string in the result shape only — empty string ⇒ keep)."""
+    out = textops.quality_filter(
         _docs(spark, sf_dir), min_tokens=25, max_tokens=90,
         min_avg_token_len=4.0, max_avg_token_len=5.0,
         max_stopword_ratio=0.10, min_distinct_ratio=0.40)
+    return out.select("doc_id", "keep",
+                      F.array_join("reasons", ",").alias("reasons"))
 
 
 def _sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid + cohesion over the embeddings table
-    (label-quality audit; dim map-side avgs + broadcast second pass)."""
+    (label-quality audit; dim map-side avgs + broadcast second pass).
+    The centroid vector is unpivoted to (label, n, dim, cval,
+    cohesion) rows in the result shape — the canonicalizer cannot
+    hash array cells, and per-dim typed doubles avoid string-format
+    drift."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.label_centroids(emb, dim=64)
+    out = similarity.label_centroids(emb, dim=64)
+    return out.select(
+        "label", "n",
+        F.posexplode("centroid").alias("dim", "cval"),
+        "cohesion")
 
 
 # -- deduplication ----------------------------------------------------------
@@ -533,12 +598,16 @@ def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary → fixed-width feature vectors (pandas UDF); rounded to 6
-    decimals as doubles for cross-engine value comparison."""
+    decimals as doubles and UNPIVOTED to (media_ref, dim, feature)
+    rows for cross-engine value comparison — doubles stay typed
+    doubles instead of risking string-format drift, and the
+    canonicalizer never sees an array cell."""
     feats = mm.extract_features(_mm_media(spark), dim=16)
     return feats.select(
         "media_ref",
-        F.transform("features", lambda x: F.round(x.cast("double"), 6))
-        .alias("features"))
+        F.posexplode(
+            F.transform("features", lambda x: F.round(x.cast("double"), 6))
+        ).alias("dim", "feature"))
 
 
 def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,17 +707,18 @@ def _sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(queries, emb, k=3, n_centroids=8, nprobe=2)
 
 
-def _sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with a deterministically-seeded Lloyd-trained codebook and
-    the broadcast-matrix pandas-UDF assignment (the large-codebook
-    scale path — `similarity.kmeans_codebook`). No SQL oracle: the
-    k-means refinement is iterative; the driver's rows-only check
-    applies, and bit-parity of the assignment path itself is pinned by
-    `test_ivf_broadcast_assignment_parity_at_256_centroids`."""
+def _sim_assign_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-pinned cross-path parity for the IVF coarse quantizer:
+    every embedding assigned through BOTH the literal-expression path
+    and the broadcast-numpy-matrix pandas-UDF path over the same
+    64-centroid seed codebook; the DuckDB twin recomputes the expected
+    cell independently, so a drift in either path's fold order,
+    rounding, or tiebreak breaks the value hash. Supersedes the
+    rows-only `sim_ivf_trained` check (round-3 VERDICT task 7) — the
+    trained (Lloyd) path reuses exactly these assignment kernels and
+    stays pytest-pinned (iterative k-means is not SQL-expressible)."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
-    return similarity.ivf_topk(queries, emb, k=3, n_centroids=64,
-                               nprobe=8, train_iters=2, literal_max=16)
+    return similarity.assignment_parity(emb, n_centroids=64)
 
 
 def _kvc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,23 +740,20 @@ def _kvc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # EXACTLY 50 entries — the driver's oracle gate checks the first
+    # 50 in dict order; rounds 2-3 silently dropped coverage past the
+    # cap (round-3 VERDICT "What's wrong #3"). tests/test_entry.py pins
+    # the count.
     return {
         "v_summary": _validate_summary,
         "v_violations": _validate_violations,
-        "kw_uniqueitems": _kw_uniqueitems,
-        "kw_divisible": _kw_divisible,
-        "kw_map_props": _kw_map_props,
-        "kw_union_type": _kw_union_type,
-        "kw_oneof": _kw_oneof,
-        "kw_multipleof": _kw_multipleof,
-        "kw_allof_not": _kw_allof_not,
-        "kw_dependencies": _kw_dependencies,
+        "kw_draft3": _kw_draft3,
+        "kw_draft4": _kw_draft4,
         "v_json_props": _v_json_props,
         "v_span_violations": _v_span_violations,
         "ds_stats": _ds_stats,
         "ds_duplicates": _ds_duplicates,
         "ds_referential": _ds_referential,
-        "ds_orphans": _ds_orphans,
         "ds_histogram": _ds_histogram,
         "ds_drift": _ds_drift,
         "ds_ks_exact": _ds_ks_exact,
@@ -725,7 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": _sim_topk,
         "sim_ann": _sim_ann,
         "sim_ivf": _sim_ivf,
-        "sim_ivf_trained": _sim_ivf_trained,
+        "sim_assign_parity": _sim_assign_parity,
         "sim_centroids": _sim_centroids,
         "kvc_agg": _kvc_agg,
     }
@@ -1030,46 +1097,30 @@ SELECT doc_id, 'not_in_range', '/doc_id', '/properties/doc_id/minimum',
        doc_id::VARCHAR
 FROM documents WHERE doc_id < 0
 """,
-        "kw_uniqueitems": f"""
+        "kw_draft3": f"""
 SELECT doc_id,
        (len(toks) >= 5 AND len(toks) <= 200
-        AND len(list_distinct(toks)) = len(toks)) AS valid,
+        AND len(list_distinct(toks)) = len(toks)) AS uniq_valid,
        ((CASE WHEN len(toks) < 5 THEN 1 ELSE 0 END)
         + (CASE WHEN len(toks) > 200 THEN 1 ELSE 0 END)
         + (CASE WHEN len(list_distinct(toks)) <> len(toks) THEN 1 ELSE 0
-           END))::INT AS n_violations
-FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
-""",
-        "kw_divisible": """
-SELECT doc_id, (n_chars % 7 = 0) AS valid FROM documents
-""",
-        "kw_map_props": """
-SELECT doc_id,
+           END))::INT AS uniq_nv,
+       (n_chars % 7 = 0) AS div_valid,
        (lang IN ('en','es','de','fr')
-        AND regexp_matches(source, '^src[0-9]$')) AS valid
-FROM documents
+        AND regexp_matches(source, '^src[0-9]$')) AS map_valid,
+       (lang IN ('en','es')) AS union_valid
+FROM (SELECT doc_id, lang, source, n_chars, {_TOKS} AS toks
+      FROM documents)
 """,
-        "kw_union_type": """
-SELECT doc_id, (lang IN ('en','es')) AS valid FROM documents
-""",
-        "kw_oneof": """
+        "kw_draft4": """
 SELECT doc_id,
        ((CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
-        + (CASE WHEN n_chars <= 100 THEN 1 ELSE 0 END)) = 1 AS valid
-FROM documents
-""",
-        "kw_multipleof": """
-SELECT doc_id, (n_chars % 5 = 0) AS valid FROM documents
-""",
-        "kw_allof_not": """
-SELECT doc_id,
+        + (CASE WHEN n_chars <= 100 THEN 1 ELSE 0 END)) = 1
+         AS oneof_valid,
+       (n_chars % 5 = 0) AS mof_valid,
        (regexp_matches(source, '^src')
-        AND NOT source IN ('src0', 'src1')) AS valid
-FROM documents
-""",
-        "kw_dependencies": """
-SELECT doc_id,
-       (NOT (n_chars % 2 = 0) OR (n_chars % 3 = 0)) AS valid
+        AND NOT source IN ('src0', 'src1')) AS anot_valid,
+       (NOT (n_chars % 2 = 0) OR (n_chars % 3 = 0)) AS dep_valid
 FROM documents
 """,
         "v_json_props": """
@@ -1112,12 +1163,13 @@ SELECT user_id, count(*)::BIGINT AS occurrences
 FROM events GROUP BY user_id HAVING count(*) > 1
 """,
         "ds_referential": """
-SELECT count(*)::BIGINT AS dangling FROM lineitem l
+SELECT 'dangling_fact_keys' AS check, count(*)::BIGINT AS n
+FROM lineitem l
 WHERE l.l_partkey IS NOT NULL
   AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
-""",
-        "ds_orphans": """
-SELECT p_partkey FROM part p
+UNION ALL
+SELECT 'orphan_dim_rows', count(*)::BIGINT
+FROM part p
 WHERE p.p_partkey IS NOT NULL
   AND NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
 """,
@@ -1354,7 +1406,8 @@ k AS (SELECT p.token, d.df, p.doc_id,
         row_number() OVER (PARTITION BY p.token
           ORDER BY p.doc_id ASC) AS rn
       FROM p JOIN d USING (token))
-SELECT token, df, list_sort(list(doc_id)) AS postings
+SELECT token, df,
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
 FROM k WHERE rn <= 20 GROUP BY token, df
 """,
         "txt_vocab": f"""
@@ -1384,7 +1437,7 @@ j AS (SELECT p.doc_id, p.pos,
              coalesce(v.token_id, -1)::BIGINT AS tid,
              (v.token_id IS NULL)::INT AS oov
       FROM p LEFT JOIN v USING (token))
-SELECT doc_id, list(tid ORDER BY pos) AS ids,
+SELECT doc_id, array_to_string(list(tid ORDER BY pos), ',') AS ids,
        sum(oov)::BIGINT AS n_oov
 FROM j GROUP BY doc_id
 """,
@@ -1408,7 +1461,9 @@ r AS (SELECT doc_id,
           CASE WHEN NOT (dr >= 0.40) THEN 'low_lexical_diversity' END
         ], x -> x IS NOT NULL) AS reasons
       FROM s)
-SELECT doc_id, (len(reasons) = 0) AS keep, reasons FROM r
+SELECT doc_id, (len(reasons) = 0) AS keep,
+       coalesce(array_to_string(reasons, ','), '') AS reasons
+FROM r
 """,
         "txt_pii": f"""
 WITH {_PII_CHAIN}
@@ -1500,9 +1555,9 @@ FROM b
 WITH g AS (SELECT range AS i FROM range(0, {MM_N})),
 b AS (SELECT i, {_mm_hex_sql()} AS hx FROM g),
 s AS (SELECT i, repeat(sha256(hx), 2) AS hx2 FROM b)
-SELECT 'm' || i AS media_ref,
-       [{_mm_feature_expr()} FOR k IN range(0, 16)] AS features
-FROM s
+SELECT 'm' || i AS media_ref, k::INT AS dim,
+       {_mm_feature_expr()} AS feature
+FROM s, range(0, 16) t(k)
 """,
         "mm_frames": f"""
 WITH g AS (SELECT range AS i FROM range(0, {MM_N}) WHERE range % 3 = 2),
@@ -1600,9 +1655,24 @@ j AS (SELECT e.label, c.n, c.centroid,
         {_DOT.format(a='e.embedding', b='c.centroid')}
           / sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
           / sqrt({_DOT.format(a='c.centroid', b='c.centroid')}) AS cos
-      FROM embeddings e JOIN c USING (label))
-SELECT label, n, centroid, round(avg(cos), 6) AS cohesion
-FROM j GROUP BY label, n, centroid
+      FROM embeddings e JOIN c USING (label)),
+f AS (SELECT label, n, centroid, round(avg(cos), 6) AS cohesion
+      FROM j GROUP BY label, n, centroid)
+SELECT label, n, k::INT AS dim, centroid[(k + 1)::INT] AS cval, cohesion
+FROM f, range(0, 64) t(k)
+""",
+        "sim_assign_parity": f"""
+WITH c AS (SELECT vec_id AS cent_id, embedding AS cemb
+           FROM embeddings ORDER BY vec_id LIMIT 64),
+asgn AS (SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({_cosine_sql('e.embedding', 'c.cemb')}, 6)
+                        DESC,
+                      c.cent_id ASC) AS r
+         FROM embeddings e CROSS JOIN c)
+SELECT vec_id, cent_id::INT AS cell_literal, cent_id::INT AS cell_udf,
+       TRUE AS agree
+FROM asgn WHERE r = 1
 """,
         "kvc_agg": """
 SELECT event_type, count(*)::BIGINT AS cnt, sum(k)::BIGINT AS sum_k,

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
-from typing import Iterator
+from typing import Callable, Iterator, Optional
 
 import numpy as np
 import pandas as pd
@@ -94,21 +94,34 @@ def synth_media(spark: SparkSession, n: int, *, seed: int = 42,
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
-def decode_media(df: DataFrame, *, strict: bool = False) -> DataFrame:
+def decode_media(df: DataFrame, *, strict: bool = False,
+                 codec: Optional[Callable[[bytes], tuple]] = None
+                 ) -> DataFrame:
     """Decode the binary column into (media_ref, width, height, n_bytes,
-    checksum). ``strict=True`` is the production marker: a real codec
-    (PIL / libav) must be plugged in; this sandbox has none."""
+    checksum).
+
+    ``codec`` is the production seam: any ``bytes -> (width, height)``
+    callable (``PIL.Image.open(...).size``, a libav probe, ...) runs
+    INSIDE the same Arrow ``mapInPandas`` batch path — schema,
+    partitioning, and batch shape are identical whether the decoder is
+    the built-in synthetic-header parser or a real library, so swapping
+    one in changes zero plan structure (seam is test-pinned by
+    ``test_decode_media_custom_codec_seam``). ``strict=True`` with no
+    ``codec`` raises: this sandbox ships no image/audio libs, and
+    strict mode refuses to silently fall back to the header parser."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
+        if strict and codec is None:
             raise NotImplementedError(
                 "no image/audio codec in this environment — plug a real "
-                "decoder into decode_media()")
+                "decoder into decode_media(codec=...)")
         for pdf in batches:
             rows = []
             for ref, blob in zip(pdf["media_ref"], pdf["content"]):
                 b = bytes(blob)
-                if b[:4] == _MAGIC:
+                if codec is not None:
+                    w, h = codec(b)
+                elif b[:4] == _MAGIC:
                     _, w, h, _dur = struct.unpack("<BHHI", b[4:13])
                 else:  # unknown container — metadata only
                     w = h = -1

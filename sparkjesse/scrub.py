@@ -81,3 +81,19 @@ def redact_pii(df: DataFrame, text_col: str = "text",
         total = counts[name] if total is None else total + counts[name]
     return df.select(F.col(id_col), redacted.alias("redacted"),
                      total.alias("n_redacted"))
+
+
+def redact_cols(text: Column) -> tuple[Column, Column]:
+    """Column-level redaction: ``(redacted, n_redacted)`` expression
+    pair over any text column — for pipelines that want to scrub IN
+    PLACE with ``withColumn`` instead of joining ``redact_pii``'s
+    output back to the corpus (a corpus-wide shuffle that a pure
+    per-row expression never needs; an inner join on the id also
+    drops null-id rows and multiplies duplicate ids — round-3 ADVICE
+    on ``tools/pipeline_job.py``). Same sequential contract as
+    ``redact_pii``."""
+    counts, redacted = _sequential(text)
+    total = None
+    for name in counts:
+        total = counts[name] if total is None else total + counts[name]
+    return redacted, total

@@ -290,6 +290,48 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, *,
                   .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+def assignment_parity(corpus: DataFrame, *, id_col: str = "vec_id",
+                      emb_col: str = "embedding",
+                      n_centroids: int = 64) -> DataFrame:
+    """Hard cross-path parity probe for the IVF coarse quantizer:
+    assign every corpus vector to its nearest centroid through BOTH
+    assignment paths — the literal-expression tree (small-codebook
+    path) and the broadcast-numpy-matrix pandas UDF (large-codebook
+    path, ``_nearest_cells_udf``) — over the SAME deterministic seed
+    codebook (first ``n_centroids`` vectors by id; no training, so a
+    SQL oracle can recompute the expected cell independently).
+    Returns ``(vec_id, cell_literal, cell_udf, agree)``.
+
+    This is the oracle-facing twin of
+    ``test_ivf_broadcast_assignment_parity_at_256_centroids``: a SQL
+    engine recomputes the assignment from the same seed codebook and
+    hash-pins BOTH paths at once — if either path's rounding, fold
+    order, or tiebreak drifts, the value hash breaks. The trained
+    (Lloyd) codebook path reuses exactly these two assignment kernels,
+    so parity here transfers to ``ivf_topk(train_iters>0)``
+    (pytest-pinned separately — k-means is iterative, not
+    SQL-expressible)."""
+    cent_rows = (corpus.orderBy(F.col(id_col)).limit(n_centroids)
+                 .select(id_col, emb_col).collect())
+    cents = sorted((r[id_col], [float(x) for x in r[emb_col]])
+                   for r in cent_rows)
+    scored = F.array(*[
+        F.struct(
+            (-F.round(cosine_col(
+                F.col(emb_col), F.array(*[F.lit(x) for x in vec])), 6))
+            .alias("negsim"),
+            F.lit(cid).alias("cent_id"))
+        for cid, vec in cents])
+    lit_cell = (F.sort_array(scored)[0].getField("cent_id")
+                .cast("int"))
+    udf_cell = _nearest_cells_udf(cents, 1)(F.col(emb_col))[0]
+    return (corpus.select(F.col(id_col),
+                          lit_cell.alias("cell_literal"),
+                          udf_cell.cast("int").alias("cell_udf"))
+            .withColumn("agree",
+                        F.col("cell_literal") == F.col("cell_udf")))
+
+
 def ann_topk_bucketed(queries: DataFrame, corpus: DataFrame, *,
                       id_col: str = "vec_id", emb_col: str = "embedding",
                       k: int = 3, bits: int = 4,

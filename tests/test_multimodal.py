@@ -67,3 +67,30 @@ def test_frame_sample_plan_expression_only(media):
         offs = [o for _, o in sorted(frames)]
         assert idxs == list(range(len(frames)))
         assert offs == [i * 500 for i in range(len(frames))]
+
+
+def test_decode_media_custom_codec_seam(media):
+    """The production-codec seam: any ``bytes -> (w, h)`` callable runs
+    through the SAME Arrow batch path as the built-in parser — schema
+    and row set unchanged, dimensions come from the injected codec.
+    (The 'real' codec here is a fake that reads the synthetic header
+    and doubles the width — proving injection, not decoding.)"""
+    import struct as _struct
+
+    def fake_codec(b: bytes) -> tuple:
+        _, w, h, _dur = _struct.unpack("<BHHI", b[4:13])
+        return (w * 2, h)
+
+    base = {r["media_ref"]: r for r in mm.decode_media(media).collect()}
+    out = {r["media_ref"]: r for r in
+           mm.decode_media(media, codec=fake_codec).collect()}
+    assert set(out) == set(base)
+    for ref, r in out.items():
+        assert r["width"] == base[ref]["width"] * 2
+        assert r["height"] == base[ref]["height"]
+        assert r["checksum"] == base[ref]["checksum"]  # same batch path
+    # strict WITH a codec is the production configuration — it runs
+    # (strict WITHOUT one raising is pinned by
+    # test_decode_media_strict_raises)
+    n = mm.decode_media(media, strict=True, codec=fake_codec).count()
+    assert n == len(base)

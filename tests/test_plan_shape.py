@@ -165,3 +165,30 @@ def test_decontaminate_broadcasts_benchmark(spark):
     corpus = docs.where(F.col("doc_id") % 97 != 0)
     plan = _plan(dedup.decontaminate_report(corpus, bench))
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_encode_documents_zero_shuffle(spark):
+    """The encoder is a broadcast-vocab pandas UDF map: no Exchange in
+    the plan (round-3 VERDICT #4 — the old posexplode→join→groupBy
+    re-assembly shuffled every token occurrence of the corpus)."""
+    from sparkjesse import textops
+    docs = spark.read.parquet(DOCS)
+    vocab = spark.createDataFrame(
+        [("the", 0), ("a", 1)], ["token", "token_id"])
+    plan = _plan(textops.encode_documents(docs, vocab))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "ArrowEvalPython" in plan, plan[:2000]  # Arrow batch, not row
+
+
+def test_host_cap_keeper_minq_only_over_cap_hosts(spark):
+    """Keeper arrays (the cap-sized per-host payload) must exist only
+    for over-cap hosts: the min-k aggregation's input is LeftSemi-
+    restricted to the over-cap host set, and the count side carries a
+    `host_docs > cap` filter under a BroadcastExchange (round-3
+    VERDICT #5 — the old plan broadcast keep_ids for EVERY host)."""
+    from sparkjesse import urlops
+    rows = [(i, f"https://h{i % 7}.ex.com/p/{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    plan = _plan(urlops.host_cap_filter(df, max_per_host=5))
+    assert "LeftSemi" in plan, plan[:3000]
+    assert re.search(r"host_docs#\d+L? > 5", plan), plan[:3000]

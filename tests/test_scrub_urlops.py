@@ -116,3 +116,22 @@ def test_host_cap_plan_has_no_raw_row_window(spark):
     for line in plan.splitlines():
         if "BroadcastHashJoin" in line:
             assert "BuildRight" in line, line  # corpus always streams
+
+
+def test_redact_cols_matches_redact_pii(spark):
+    """The column-level helper (in-place withColumn scrub — zero
+    shuffle, no id join) must agree exactly with redact_pii."""
+    from pyspark.sql import functions as F
+    from sparkjesse.scrub import redact_cols, redact_pii
+    rows = [(1, "mail me at a.b@x.org or 555-123-4567"),
+            (2, "clean text"),
+            (3, "ids 123-45-6789 and host 10.0.0.1")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    redacted, n_red = redact_cols(F.col("text"))
+    via_cols = {r["doc_id"]: (r["t"], r["n"]) for r in
+                df.select("doc_id", redacted.alias("t"),
+                          n_red.alias("n")).collect()}
+    via_df = {r["doc_id"]: (r["redacted"], r["n_redacted"]) for r in
+              redact_pii(df).collect()}
+    assert via_cols == via_df
+    assert via_cols[2] == ("clean text", 0)

@@ -237,10 +237,20 @@ def run_interleaved(cores_a: int, cores_b: int, path: str, n_docs: int,
                 [r["detect_sec"] for r in runs]), 3),
             "hot_keys": runs[0]["hot_keys"],
         }
+        # ALWAYS emit the clean-median keys so downstream readers
+        # (bench.py steady-state block) can never desynchronize from
+        # this file again (round-3 postmortem: a 1-clean-trial campaign
+        # omitted the key and crashed bench.py). With <2 clean trials
+        # the clean median falls back to the all-trial median, and
+        # clean_median_is_fallback records that honestly.
         if len(clean) >= 2:
             cmed = statistics.median(clean)
-            out["clean_median_sec"] = round(cmed, 3)
-            out["clean_median_docs_per_sec"] = round(docs / cmed, 1)
+            out["clean_median_is_fallback"] = False
+        else:
+            cmed = med
+            out["clean_median_is_fallback"] = True
+        out["clean_median_sec"] = round(cmed, 3)
+        out["clean_median_docs_per_sec"] = round(docs / cmed, 1)
         # throughput per DELIVERED core — uses every trial (no
         # censoring): each trial's docs/sec divided by the cores the
         # hypervisor actually granted it (/proc/stat busy delta). On a

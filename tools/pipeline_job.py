@@ -116,13 +116,17 @@ def main() -> None:
     # 6. PII redaction — after dedup (identical spans stay visible to
     # the dedup keys), before anything leaves the pipeline
     if not args.no_redact:
-        red = scrub.redact_pii(docs)
-        docs = (docs.drop("text")
-                    .join(red.withColumnRenamed("redacted", "text"),
-                          "doc_id"))
-        stats["pii_redactions"] = (docs.agg(
-            F.sum("n_redacted")).collect()[0][0] or 0)
-        docs = docs.drop("n_redacted")
+        # zero-shuffle in-place scrub: redaction is per-row, so it is
+        # a withColumn, never a join back to the corpus (which would
+        # shuffle 10^12 rows, drop null ids, and multiply dup ids)
+        redacted, n_red = scrub.redact_cols(F.col("text"))
+        # count BEFORE replacing: both expressions read the
+        # original text column
+        docs = (docs.withColumn("__n_red__", n_red)
+                    .withColumn("text", redacted))
+        stats["pii_redactions"] = int(docs.agg(
+            F.sum("__n_red__")).collect()[0][0] or 0)
+        docs = docs.drop("__n_red__")
 
     # 7. vocabulary + encoding
     vocab = textops.build_vocab(docs, min_count=2,
