@@ -125,8 +125,8 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "sparkjesse bench: 24 driver queries + interleaved "
-                  "draft4 validation",
+        "metric": f"sparkjesse bench: {len(BENCH_QUERIES)} driver "
+                  "queries + interleaved draft4 validation",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -376,7 +376,8 @@ def encode_documents(df: DataFrame, vocab: DataFrame,
     def _encode(toks: pd.Series) -> pd.Series:
         m = bc.value
         return toks.map(
-            lambda ts: [m.get(t, oov_id) for t in ts])
+            lambda ts: None if ts is None
+            else [m.get(t, oov_id) for t in ts])
 
     enc = df.select(F.col(id_col),
                     _encode(tokens_col(text_col)).alias("ids"))

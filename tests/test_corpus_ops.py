@@ -166,3 +166,14 @@ def test_column_quantiles_approx_matches_exact_on_small_data(spark):
     ap = {r["prob"]: r["value"] for r in dc.column_quantiles(
         df, ["v"], probs=(0.5,), exact=False).collect()}
     assert ex == ap == {0.5: 51.0}
+
+
+def test_encode_documents_null_text_yields_null_ids(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, None)], "doc_id long, text string")
+    vocab = spark.createDataFrame(
+        [("a", 0), ("b", 1)], ["token", "token_id"])
+    out = {r["doc_id"]: r for r in
+           textops.encode_documents(df, vocab).collect()}
+    assert out[1]["ids"] == [0, 1]
+    assert out[2]["ids"] is None and out[2]["n_oov"] is None
