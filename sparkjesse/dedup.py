@@ -218,9 +218,69 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return out.select(F.col(id_col), F.col("band0").alias("simhash"))
 
 
+def _simhash_banded_arrow(df: DataFrame, text_col: str,
+                          id_col: str, *, bits: int,
+                          bands: int) -> DataFrame:
+    """Arrow-batched fingerprint fold: BIT-IDENTICAL to the expression
+    path (same md5 hex nibbles, same ±1 vote LUT, same vote>0 bit
+    rule, same multi-digest streams) but computed with hashlib + a
+    numpy LUT inside ``mapInPandas``. Catalyst higher-order-function
+    lambdas are interpreted per element, and a 256-bit fingerprint
+    folds bits × distinct-tokens adds per doc — measured ~10× slower
+    than this vectorized walk at 256 bits (BASELINE.md round-4 bench
+    notes). Still ZERO shuffle, still scan-parallel; parity with the
+    expression path is pinned by
+    ``test_simhash_banded_arrow_matches_expression`` and the
+    ``dd_simhash_wide`` DuckDB oracle recomputes it independently."""
+    import hashlib
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    positions = bits // 4
+    n_digests = (positions + 31) // 32
+    band_bits = bits // bands
+    # ASCII hex char -> nibble value; LUT[n] = 4 ±1 votes (bit k of n)
+    char_val = np.full(256, -1, dtype=np.int64)
+    for i, c in enumerate("0123456789abcdef"):
+        char_val[ord(c)] = i
+    vote_lut = np.array([[1 if (n >> k) & 1 else -1 for k in range(4)]
+                         for n in range(16)], dtype=np.int64)
+    weights = (2 ** np.arange(band_bits, dtype=np.int64))
+    schema = StructType(
+        [StructField(id_col, df.schema[id_col].dataType)]
+        + [StructField(f"band{b}", LongType()) for b in range(bands)])
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {id_col: pdf[id_col]}
+            rows = np.zeros((len(pdf), bands), dtype=np.int64)
+            for r, text in enumerate(pdf[text_col]):
+                if text is None:
+                    continue  # null text -> all-zero bands (expr parity)
+                votes = np.zeros(bits, dtype=np.int64)
+                for t in dict.fromkeys(text.split(" ")):  # order-stable
+                    hx = hashlib.md5(t.encode()).hexdigest()
+                    for d in range(1, n_digests):
+                        hx += hashlib.md5(
+                            f"{d}:{t}".encode()).hexdigest()
+                    nib = char_val[np.frombuffer(
+                        hx[:positions].encode(), dtype=np.uint8)]
+                    votes += vote_lut[nib].reshape(-1)
+                bitset = (votes > 0).reshape(bands, band_bits)
+                rows[r] = (bitset * weights).sum(axis=1)
+            for b in range(bands):
+                out[f"band{b}"] = rows[:, b]
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(fold, schema)
+
+
 def simhash_banded(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", *, bits: int = 64,
-                   bands: int = 4) -> DataFrame:
+                   bands: int = 4, impl: str = "auto") -> DataFrame:
     """Banded SimHash fingerprints: ``(id, band0..band{bands-1})`` where
     band ``b`` holds bits ``[b·w, (b+1)·w)`` of a ``bits``-bit Charikar
     fingerprint (``w = bits/bands``). Same md5-nibble vote math as
@@ -242,6 +302,16 @@ def simhash_banded(df: DataFrame, text_col: str = "text",
     assert bits % bands == 0 and bits % 4 == 0
     band_bits = bits // bands
     assert band_bits <= 62
+    # implementation dispatch: the expression fold wins below ~128
+    # bits (no Python round-trip at all); past it the interpreted HOF
+    # cost dominates and the Arrow walk is ~10× faster with identical
+    # output ("auto" keeps every ≤128-bit caller, and its oracle,
+    # byte-for-byte on the original path)
+    if impl == "auto":
+        impl = "arrow" if bits > 128 else "expr"
+    if impl == "arrow":
+        return _simhash_banded_arrow(df, text_col, id_col, bits=bits,
+                                     bands=bands)
     positions = bits // 4
     n_digests = (positions + 31) // 32
     # vote_lut[n] = the 4 ±1 votes encoded by nibble value n (bit k of

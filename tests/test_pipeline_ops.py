@@ -559,3 +559,25 @@ def test_label_centroids_broadcast_no_embedding_shuffle(spark):
     df = similarity.label_centroids(emb, dim=64)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_simhash_banded_arrow_matches_expression(spark, sf_dir):
+    """The Arrow fingerprint walk must be BIT-IDENTICAL to the
+    Catalyst expression fold — same md5 nibbles, vote LUT, tie rule,
+    multi-digest streams — at a >128-bit width (where 'auto' selects
+    it), including a null-text row."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").limit(120)
+    null_row = base.limit(1).selectExpr(
+        "doc_id + 1000000 as doc_id", "cast(null as string) as text")
+    docs = base.union(null_row)
+    expr = {r["doc_id"]: tuple(r)[1:] for r in
+            dedup.simhash_banded(docs, bits=256, bands=8,
+                                 impl="expr").collect()}
+    arrow = {r["doc_id"]: tuple(r)[1:] for r in
+             dedup.simhash_banded(docs, bits=256, bands=8,
+                                  impl="arrow").collect()}
+    assert expr == arrow
+    auto = {r["doc_id"]: tuple(r)[1:] for r in
+            dedup.simhash_banded(docs, bits=256, bands=8).collect()}
+    assert auto == expr  # auto routes >128 bits to the arrow path
