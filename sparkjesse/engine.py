@@ -30,6 +30,20 @@ from pyspark.sql import functions as F
 
 from . import errors as E
 from .compiler import CompileError, compile_plan
+
+# Compiled-plan cache. Building the validator Column tree costs
+# thousands of py4j round trips (~2s driver wall for the flagship
+# schema — measured round 4); the tree itself is a pure function of
+# (schema, input struct, draft, registry state) and its Columns are
+# unbound, so it is reusable across DataFrames within one Spark app.
+# Keyed by applicationId so a restarted JVM can never serve stale
+# gateway objects; registry._rev invalidates on $ref-target changes.
+# Hot paths that win: streaming micro-batches, per-partition resume
+# jobs, and any caller validating many tables against one schema.
+# "KERNEL" caches the vetted-subset rejection so fallback schemas
+# skip straight to the Python kernel on every revalidation.
+_PLAN_CACHE: dict = {}
+_PLAN_CACHE_MAX = 64
 from .pyvalidator import validate_value
 from .registry import SchemaRegistry
 from .types import VIOLATIONS_ARRAY_TYPE
@@ -197,10 +211,22 @@ class ValidationEngine:
         kernel over ``to_json`` — same outputs, slower path."""
         schema = self._resolve(schema_or_key)
         draft = E.normalize_draft(draft) if draft else self._draft_of(schema)
-        try:
-            plan = compile_plan(schema, df.schema, draft=draft,
-                                registry=self.registry)
-        except CompileError:
+        cache_key = (
+            df.sparkSession.sparkContext.applicationId, draft,
+            json.dumps(schema, sort_keys=True, default=str),
+            df.schema.json(),
+            id(self.registry), getattr(self.registry, "_rev", 0))
+        plan = _PLAN_CACHE.get(cache_key)
+        if plan is None:
+            try:
+                plan = compile_plan(schema, df.schema, draft=draft,
+                                    registry=self.registry)
+            except CompileError:
+                plan = "KERNEL"
+            if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+                _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+            _PLAN_CACHE[cache_key] = plan
+        if plan == "KERNEL":
             return self._validate_via_kernel(
                 df, schema, doc_id_col=doc_id_col, draft=draft,
                 max_violations_per_doc=max_violations_per_doc,

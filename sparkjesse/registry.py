@@ -26,6 +26,9 @@ class SchemaRegistry:
     def __init__(self) -> None:
         self._schemas: dict[str, Any] = {}
         self._mtimes: dict[str, float] = {}  # source file → mtime
+        # mutation counter — lets the engine's compiled-plan cache
+        # invalidate when $ref targets change (engine.py _PLAN_CACHE)
+        self._rev: int = 0
 
     def add(self, key: str, schema: Any) -> None:
         """Upsert. ``schema`` may be a dict or a JSON string."""
@@ -34,6 +37,7 @@ class SchemaRegistry:
         if not isinstance(schema, dict):
             raise ValueError(f"schema for {key!r} must be a JSON object")
         self._schemas[key] = schema
+        self._rev += 1
 
     def read(self, key: str) -> Any:
         try:
@@ -43,6 +47,7 @@ class SchemaRegistry:
 
     def delete(self, key: str) -> None:
         self._schemas.pop(key, None)
+        self._rev += 1
 
     def __contains__(self, key: str) -> bool:
         return key in self._schemas

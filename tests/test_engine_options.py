@@ -449,3 +449,32 @@ def test_default_draft_accepts_schema_uri():
     assert E.normalize_draft(E.DRAFT4_URI) == E.DRAFT4
     with pytest.raises(ValueError):
         E.normalize_draft("http://json-schema.org/draft-06/schema#")
+
+
+def test_plan_cache_reuses_and_invalidates(spark, monkeypatch):
+    """Repeat validations with an unchanged (schema, struct, draft,
+    registry) reuse the compiled Column tree (thousands of py4j round
+    trips saved per micro-batch / per table); mutating the registry
+    invalidates, since $ref targets may have changed."""
+    from sparkjesse import engine as engmod
+
+    calls = {"n": 0}
+    real = engmod.compile_plan
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(engmod, "compile_plan", counting)
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n long")
+    schema = {"$schema": "http://json-schema.org/draft-04/schema#",
+              "type": "object",
+              "properties": {"n": {"minimum": 3}}}
+    eng = engmod.ValidationEngine()
+    assert eng.validate(df, schema).annotated.count() == 1
+    n_first = calls["n"]
+    assert eng.validate(df, schema).annotated.count() == 1
+    assert calls["n"] == n_first  # cache hit: no recompile
+    eng.add_schema("unrelated", {"type": "object"})  # registry rev bump
+    assert eng.validate(df, schema).annotated.count() == 1
+    assert calls["n"] == n_first + 1  # invalidated, recompiled once
