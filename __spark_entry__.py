@@ -152,70 +152,6 @@ def _validate_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "schema_ptr", "value_json")
 
 
-def _kw_uniqueitems(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs(spark, sf_dir).select(
-        "doc_id", F.split("text", " ").alias("tokens"))
-    res = ValidationEngine().validate(df, TOKENS_SCHEMA)
-    return res.annotated.select(
-        "doc_id", "valid", F.size("violations").alias("n_violations"))
-
-
-def _kw_divisible(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs(spark, sf_dir).select("doc_id", "n_chars")
-    res = ValidationEngine().validate(df, DIVISIBLE_SCHEMA, draft=DRAFT3)
-    return res.annotated.select("doc_id", "valid")
-
-
-def _kw_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.create_map(F.lit("lang"), F.col("lang"),
-                     F.lit("source"), F.col("source")).alias("m"))
-    res = ValidationEngine().validate(df, MAP_PROPS_SCHEMA)
-    return res.annotated.select("doc_id", "valid")
-
-
-def _kw_union_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Draft3 union type with an inline-schema member
-    (jesse_validator_draft3.erl:276-300)."""
-    df = _docs(spark, sf_dir).select("doc_id", "lang")
-    res = ValidationEngine().validate(df, UNION_TYPE_SCHEMA, draft=DRAFT3)
-    return res.annotated.select("doc_id", "valid")
-
-
-def _kw_oneof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs(spark, sf_dir).select("doc_id", "n_chars")
-    res = ValidationEngine().validate(df, ONEOF_SCHEMA)
-    return res.annotated.select("doc_id", "valid")
-
-
-def _kw_multipleof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs(spark, sf_dir).select("doc_id", "n_chars")
-    res = ValidationEngine().validate(df, MULTIPLEOF_SCHEMA)
-    return res.annotated.select("doc_id", "valid")
-
-
-def _kw_allof_not(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs(spark, sf_dir).select("doc_id", "source")
-    res = ValidationEngine().validate(df, ALLOF_NOT_SCHEMA)
-    return res.annotated.select("doc_id", "valid")
-
-
-def _kw_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dependencies a->b over a map whose keys are conditionally
-    present (presence derived from n_chars parity)."""
-    df = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.map_filter(
-            F.create_map(F.lit("a"), F.when(F.col("n_chars") % 2 == 0,
-                                            F.col("lang")),
-                         F.lit("b"), F.when(F.col("n_chars") % 3 == 0,
-                                            F.col("source"))),
-            lambda k, v: v.isNotNull()).alias("m"))
-    res = ValidationEngine().validate(df, DEPENDENCIES_SCHEMA)
-    return res.annotated.select("doc_id", "valid")
-
-
 def _kw_draft3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Combined draft3 keyword smoke query — uniqueItems/min/maxItems,
     divisibleBy, patternProperties+additionalProperties over MapType,
@@ -224,33 +160,45 @@ def _kw_draft3(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries to fit the driver's 50-query oracle budget (round-3
     VERDICT "What's wrong #3"); exhaustive per-keyword coverage lives
     in the 388-fixture conformance suite (tests/test_conformance_*).
-    Each leg is a zero-shuffle map-side validation; the joins are a
-    smoke-fixture convenience, not the scale shape."""
-    a = _kw_uniqueitems(spark, sf_dir).select(
-        "doc_id", F.col("valid").alias("uniq_valid"),
-        F.col("n_violations").alias("uniq_nv"))
-    b = _kw_divisible(spark, sf_dir).select(
-        "doc_id", F.col("valid").alias("div_valid"))
-    c = _kw_map_props(spark, sf_dir).select(
-        "doc_id", F.col("valid").alias("map_valid"))
-    d = _kw_union_type(spark, sf_dir).select(
-        "doc_id", F.col("valid").alias("union_valid"))
-    return a.join(b, "doc_id").join(c, "doc_id").join(d, "doc_id")
+    All four compiled predicates ride ONE scan via
+    ``ValidationEngine.validate_multi`` — no joins, fully map-side
+    (the multi-constraint data-contract audit shape)."""
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.split("text", " ").alias("tokens"),
+        "n_chars", "lang",
+        F.create_map(F.lit("lang"), F.col("lang"),
+                     F.lit("source"), F.col("source")).alias("m"))
+    out = ValidationEngine().validate_multi(
+        df,
+        {"uniq": TOKENS_SCHEMA, "div": DIVISIBLE_SCHEMA,
+         "map": MAP_PROPS_SCHEMA, "union": UNION_TYPE_SCHEMA},
+        drafts={"div": DRAFT3, "union": DRAFT3},
+        keep_violations=True)
+    return out.select(
+        "doc_id", "uniq_valid",
+        F.size("uniq_violations").alias("uniq_nv"),
+        "div_valid", "map_valid", "union_valid")
 
 
 def _kw_draft4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Combined draft4 keyword smoke query — oneOf, multipleOf,
-    allOf+not, array-form dependencies — one verdict column each
-    (same budget-fold rationale as ``_kw_draft3``)."""
-    a = _kw_oneof(spark, sf_dir).select(
-        "doc_id", F.col("valid").alias("oneof_valid"))
-    b = _kw_multipleof(spark, sf_dir).select(
-        "doc_id", F.col("valid").alias("mof_valid"))
-    c = _kw_allof_not(spark, sf_dir).select(
-        "doc_id", F.col("valid").alias("anot_valid"))
-    d = _kw_dependencies(spark, sf_dir).select(
-        "doc_id", F.col("valid").alias("dep_valid"))
-    return a.join(b, "doc_id").join(c, "doc_id").join(d, "doc_id")
+    allOf+not, array-form dependencies — one verdict column each,
+    one scan, no joins (same shape rationale as ``_kw_draft3``)."""
+    df = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars", "source",
+        F.map_filter(
+            F.create_map(F.lit("a"), F.when(F.col("n_chars") % 2 == 0,
+                                            F.col("lang")),
+                         F.lit("b"), F.when(F.col("n_chars") % 3 == 0,
+                                            F.col("source"))),
+            lambda k, v: v.isNotNull()).alias("m"))
+    out = ValidationEngine().validate_multi(
+        df,
+        {"oneof": ONEOF_SCHEMA, "mof": MULTIPLEOF_SCHEMA,
+         "anot": ALLOF_NOT_SCHEMA, "dep": DEPENDENCIES_SCHEMA})
+    return out.select("doc_id", "oneof_valid", "mof_valid",
+                      "anot_valid", "dep_valid")
 
 
 def _v_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:

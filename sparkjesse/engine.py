@@ -253,6 +253,50 @@ class ValidationEngine:
     # alias for jesse.erl:154-178 parity
     validate_with_schema = validate
 
+    def validate_multi(self, df: DataFrame,
+                       schemas: dict, *,
+                       drafts: Optional[dict] = None,
+                       keep_violations: bool = False) -> DataFrame:
+        """Validate one DataFrame against SEVERAL schemas in ONE scan:
+        for each ``name -> schema`` adds ``{name}_valid`` (and, with
+        ``keep_violations``, ``{name}_violations``). The alternative —
+        one ``validate`` per schema joined back on a key — shuffles
+        the corpus once per schema; this composes the compiled
+        predicate columns onto a single projection, so the table is
+        read once and everything stays map-side (the multi-constraint
+        audit shape: N data-contract checks per table per run).
+        ``drafts`` optionally overrides draft detection per name.
+        Schemas that fall back to the Python kernel are not supported
+        here (CompileError propagates) — run those via ``validate``."""
+        drafts = drafts or {}
+        out = df
+        for name, schema_or_key in schemas.items():
+            schema = self._resolve(schema_or_key)
+            draft = drafts.get(name)
+            draft = E.normalize_draft(draft) if draft \
+                else self._draft_of(schema)
+            cache_key = (
+                df.sparkSession.sparkContext.applicationId, draft,
+                json.dumps(schema, sort_keys=True, default=str),
+                df.schema.json(),
+                id(self.registry), getattr(self.registry, "_rev", 0))
+            plan = _PLAN_CACHE.get(cache_key)
+            if plan is None or plan == "KERNEL":
+                plan = compile_plan(schema, df.schema, draft=draft,
+                                    registry=self.registry)
+                if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+                    _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+                _PLAN_CACHE[cache_key] = plan
+            viol = plan.violations_column()
+            if keep_violations:
+                out = out.withColumn(f"{name}_violations", viol)
+                out = out.withColumn(
+                    f"{name}_valid",
+                    F.size(f"{name}_violations") == 0)
+            else:
+                out = out.withColumn(f"{name}_valid", F.size(viol) == 0)
+        return out
+
     def _validate_via_kernel(self, df: DataFrame, schema: dict, *,
                              doc_id_col: str, draft: str,
                              max_violations_per_doc: Optional[int] = None,

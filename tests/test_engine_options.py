@@ -478,3 +478,24 @@ def test_plan_cache_reuses_and_invalidates(spark, monkeypatch):
     eng.add_schema("unrelated", {"type": "object"})  # registry rev bump
     assert eng.validate(df, schema).annotated.count() == 1
     assert calls["n"] == n_first + 1  # invalidated, recompiled once
+
+
+def test_validate_multi_one_scan_no_joins(spark):
+    """N schemas over one table = N verdict columns on ONE projection:
+    correct verdicts, and the physical plan has no Join/Exchange."""
+    from sparkjesse.engine import ValidationEngine
+    df = spark.createDataFrame(
+        [(1, 6, "ok"), (2, 7, "no")], "doc_id long, n long, s string")
+    out = ValidationEngine().validate_multi(
+        df,
+        {"even": {"$schema": "http://json-schema.org/draft-04/schema#",
+                  "type": "object",
+                  "properties": {"n": {"multipleOf": 2}}},
+         "pat": {"$schema": "http://json-schema.org/draft-04/schema#",
+                 "type": "object",
+                 "properties": {"s": {"pattern": "^o"}}}})
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["even_valid"] is True and rows[1]["pat_valid"] is True
+    assert rows[2]["even_valid"] is False and rows[2]["pat_valid"] is False
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan, plan[:2000]
