@@ -92,6 +92,13 @@ class CheckpointLedger:
                 if e.status == "done" and e.plan_hash == plan
                 and e.snapshot_id == snapshot}
 
+    def done_pairs(self, plan: str) -> set[tuple[str, str]]:
+        """(partition_id, snapshot_id) pairs with a done row under
+        ``plan`` — the lookup for per-partition (incremental) lineage,
+        where each batch carries its own snapshot token."""
+        return {(e.partition_id, e.snapshot_id) for e in self._read_all()
+                if e.status == "done" and e.plan_hash == plan}
+
     def attempts(self, partition_id: str) -> int:
         return sum(1 for e in self._read_all()
                    if e.partition_id == partition_id)
@@ -99,16 +106,26 @@ class CheckpointLedger:
     def metrics_rows(self) -> list[dict]:
         return [json.loads(e.to_json()) for e in self._read_all()]
 
-    def lineage_metrics(self, plan: str, snapshot: str) -> list[dict]:
+    def lineage_metrics(self, plan: str,
+                        snapshot: "str | dict[str, str]") -> list[dict]:
         """Done metrics for ONE lineage — latest attempt per partition.
         Totals must never sum raw ``metrics_rows()``: after a schema or
         data change the ledger still holds old-lineage rows (and
         possibly several attempts per partition), which would
-        double-count docs/fail."""
+        double-count docs/fail. ``snapshot`` may be a per-partition
+        token dict (incremental lineage): a row counts only if it
+        matches ITS partition's current token, so batches re-validated
+        after an append contribute exactly their latest run."""
+        if isinstance(snapshot, dict):
+            def match(e: LedgerEntry) -> bool:
+                return e.snapshot_id == snapshot.get(e.partition_id)
+        else:
+            def match(e: LedgerEntry) -> bool:
+                return e.snapshot_id == snapshot
         best: dict[str, LedgerEntry] = {}
         for e in self._read_all():
             if e.status != "done" or e.plan_hash != plan \
-                    or e.snapshot_id != snapshot:
+                    or not match(e):
                 continue
             cur = best.get(e.partition_id)
             if cur is None or e.attempt > cur.attempt:
@@ -123,28 +140,40 @@ def run_with_checkpoints(
     ledger: CheckpointLedger,
     *,
     plan: str,
-    snapshot: str,
+    snapshot: "str | dict[str, str]",
 ) -> dict:
     """Drive a partition-batched run with resume. ``process(pid)`` validates
     one input partition and returns its metrics dict; completed (plan,
     snapshot, partition) triples are skipped on re-entry. Raising inside
     ``process`` records a ``failed`` attempt and re-raises (so a killed /
     crashed run leaves lineage + metrics rows intact — the resume test
-    kills mid-run and restarts)."""
-    done = ledger.done_partitions(plan, snapshot)
+    kills mid-run and restarts).
+
+    ``snapshot`` is either one table-wide token (any data change re-runs
+    everything) or a per-partition dict from
+    ``sources.manifest_partitions`` — the incremental path: only
+    batches whose own token has no done row run, so appends validate
+    just the new files."""
+    if isinstance(snapshot, dict):
+        snap_of = snapshot.__getitem__
+    else:
+        def snap_of(_pid: str) -> str:
+            return snapshot
+    done = ledger.done_pairs(plan)
     skipped, ran = [], []
     for pid in partitions:
-        if pid in done:
+        snap = snap_of(pid)
+        if (pid, snap) in done:
             skipped.append(pid)
             continue
         attempt = ledger.attempts(pid) + 1
         try:
             metrics = process(pid)
         except Exception as exc:
-            ledger.record(LedgerEntry(pid, "failed", plan, snapshot, attempt,
+            ledger.record(LedgerEntry(pid, "failed", plan, snap, attempt,
                                       {"error": str(exc)[:500]}))
             raise
-        ledger.record(LedgerEntry(pid, "done", plan, snapshot, attempt,
+        ledger.record(LedgerEntry(pid, "done", plan, snap, attempt,
                                   metrics))
         ran.append(pid)
     return {"ran": ran, "skipped": skipped}

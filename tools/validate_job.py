@@ -26,6 +26,12 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--manifest", default=None,
+                    help="manifest JSON path → incremental lineage: "
+                         "batch membership is frozen at first sight, so "
+                         "a resumed run after an append validates ONLY "
+                         "the new/changed batches (requires "
+                         "--checkpoint)")
     ap.add_argument("--partitions", type=int, default=256)
     ap.add_argument("--schema-json", default=None,
                     help="path to a JSON-Schema file; default: the "
@@ -48,8 +54,18 @@ def main() -> None:
 
     engine = ValidationEngine()
 
+    manifest = None
+    if args.manifest:
+        if not args.checkpoint:
+            ap.error("--manifest requires --checkpoint")
+        manifest = sources.refresh_manifest(args.input, args.manifest)
+
     def process(pid: str) -> dict:
-        docs = sources.read_partition(spark, args.input, pid)
+        if manifest is not None:
+            docs = sources.read_manifest_partition(
+                spark, args.input, manifest, pid)
+        else:
+            docs = sources.read_partition(spark, args.input, pid)
         # bare parquet scan — a metadata count is cheap, so cap the
         # skew-detection sample
         skew = detect_hot_keys(docs, "doc_id", target_rows=500_000)
@@ -75,11 +91,16 @@ def main() -> None:
             ann.unpersist()
         return {"docs": int(row["docs"] or 0), "fail": int(row["fail"] or 0)}
 
-    pids = sources.input_partitions(spark, args.input)
+    if manifest is not None:
+        parts = sources.manifest_partitions(manifest)
+        pids = [p for p, _ in parts]
+        snapshot: "str | dict" = dict(parts)
+    else:
+        pids = sources.input_partitions(spark, args.input)
+        snapshot = sources.snapshot_id(args.input)
     if args.checkpoint:
         ledger = CheckpointLedger(args.checkpoint)
         plan = plan_hash(schema)
-        snapshot = sources.snapshot_id(args.input)
         out = run_with_checkpoints(pids, process, ledger,
                                    plan=plan, snapshot=snapshot)
         # totals: latest done attempt per partition of THIS lineage only
