@@ -98,9 +98,11 @@ def main() -> None:
 
     # this host's hypervisor intermittently withholds most of the
     # requested cores (BASELINE.md "Measurement validity"), inflating a
-    # single wall up to 10x. Run THREE trials, report the median as the
+    # single wall up to 10x. Run FIVE trials, report the median as the
     # headline plus every wall and a /proc/stat busy-cores covariate so
-    # a noisy window is visible instead of silently recorded.
+    # a noisy window is visible instead of silently recorded. (Three
+    # trials left the median hostage to one slow delivery window —
+    # walls of 3.7/6.5/8.0s put a 2x swing on the headline.)
     def _busy():
         with open("/proc/stat") as f:
             v = list(map(int, f.readline().split()[1:9]))
@@ -108,7 +110,7 @@ def main() -> None:
 
     walls, busies = [], []
     summary = None
-    for _ in range(3):
+    for _ in range(5):
         b0, c0 = _busy()
         t0 = time.perf_counter()
         skew = detect_hot_keys(docs, "doc_id")
@@ -120,7 +122,7 @@ def main() -> None:
         b1, c1 = _busy()
         busies.append(round((b1 - b0) / max(c1 - c0, 1)
                             * (os.cpu_count() or cpus), 1))
-    flagship_sec = sorted(walls)[1]
+    flagship_sec = sorted(walls)[len(walls) // 2]
     timings["flagship_interleaved_validate"] = flagship_sec
 
     total = round(sum(timings.values()), 3)
