@@ -59,6 +59,71 @@ def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
     return df.where(hash_bucket(id_col, salt=salt) < cut)
 
 
+def epoch_shuffle(df: DataFrame, id_col: str, *, epoch: int = 0,
+                  salt: str = "", shards: int = 64) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering.
+
+    Training runs need the corpus in a pseudorandom order that is (a)
+    different every epoch, (b) reproducible bit-for-bit on re-run /
+    task retry / different cluster size, and (c) produced without a
+    single-reducer global sort. ``orderBy(rand(seed))`` fails (a)+(b):
+    Spark's rand() is seeded per-partition, so the order changes with
+    partitioning and retries. Here the sort key is content-keyed —
+    ``shuffle_rank = md5(salt|epoch|id)`` — a pure function of the row,
+    so the order is THE SAME on any cluster; and
+    ``repartitionByRange(shards) + sortWithinPartitions`` makes shard
+    k's ranks all precede shard k+1's, so every shard writes in
+    parallel and a reader concatenating shards 0..n-1 sees the exact
+    global order. One sampled-boundary range exchange; md5 is uniform,
+    so shards are skew-free by construction. The rank column stays on
+    the output so consumers (and tests) can verify the order."""
+    rank = F.md5(F.concat(F.lit(f"{salt}|{epoch}|"),
+                          F.col(id_col).cast("string")))
+    return (df.withColumn("shuffle_rank", rank)
+              .repartitionByRange(shards, "shuffle_rank")
+              .sortWithinPartitions("shuffle_rank"))
+
+
+def mixture_interleave(parts: Mapping[str, tuple[DataFrame, float]],
+                       id_col: str, *, epoch: int = 0, salt: str = "",
+                       shards: int = 64) -> DataFrame:
+    """Deterministic training-mix: weight each source and interleave.
+
+    ``parts`` maps source name → (df, weight). Weight w ≤ 1 keeps a
+    deterministic w-fraction of that source (content-keyed, so the
+    same rows every run); w > 1 repeats the source ⌊w⌋ times plus a
+    deterministic (w−⌊w⌋)-fraction — the standard oversampling of
+    high-quality sources in LLM data mixes. Copies get distinct
+    ``copy`` indices and distinct shuffle ranks (the copy index is in
+    the rank salt), so repeats of a document are spread across the
+    epoch instead of adjacent. Output carries ``source`` and ``copy``
+    and is globally ordered by ``shuffle_rank`` (see
+    ``epoch_shuffle``). All operators are unions + filters + one range
+    exchange — no joins, no driver materialization, safe at 10^12
+    rows."""
+    pieces = []
+    for name, (df, weight) in sorted(parts.items()):
+        full, frac = int(weight), round(weight - int(weight), 9)
+        for copy in range(full):
+            pieces.append(df.withColumn("source", F.lit(name))
+                            .withColumn("copy", F.lit(copy)))
+        if frac > 0:
+            pieces.append(
+                deterministic_sample(df, id_col, frac,
+                                     salt=f"{salt}|mix|{name}|{full}")
+                .withColumn("source", F.lit(name))
+                .withColumn("copy", F.lit(full)))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    rank = F.md5(F.concat_ws("|", F.lit(salt), F.lit(str(epoch)),
+                             F.col("source"), F.col("copy"),
+                             F.col(id_col).cast("string")))
+    return (out.withColumn("shuffle_rank", rank)
+               .repartitionByRange(shards, "shuffle_rank")
+               .sortWithinPartitions("shuffle_rank"))
+
+
 def split(df: DataFrame, id_col: str, *, weights: Mapping[str, float],
           salt: str = "") -> DataFrame:
     """Disjoint deterministic train/val/test split: adds a ``split``

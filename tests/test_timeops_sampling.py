@@ -163,3 +163,64 @@ def test_decontaminate_flags_overlapping_docs_only(spark):
     assert r["n_hit_shingles"] == 1 and r["n_shingles"] == 2
     assert r["hit_frac"] == 0.5
     assert r["example_shingle"] == "alpha beta gamma"
+
+
+# --- epoch shuffle / mixture interleave --------------------------------
+
+def test_epoch_shuffle_deterministic_across_partitioning(spark):
+    df = spark.range(0, 500).withColumn(
+        "doc_id", F.concat(F.lit("d"), F.col("id")))
+    a = [r["doc_id"] for r in
+         sampling.epoch_shuffle(df.repartition(1), "doc_id", epoch=1,
+                                shards=4).select("doc_id").collect()]
+    b = [r["doc_id"] for r in
+         sampling.epoch_shuffle(df.repartition(13), "doc_id", epoch=1,
+                                shards=7).select("doc_id").collect()]
+    assert a == b                      # order is content-keyed, not
+    assert sorted(a) == sorted(        # partitioning/shard dependent
+        f"d{i}" for i in range(500))   # and it is a permutation
+    c = [r["doc_id"] for r in
+         sampling.epoch_shuffle(df, "doc_id", epoch=2,
+                                shards=4).select("doc_id").collect()]
+    assert c != a                      # epochs reorder
+
+
+def test_epoch_shuffle_is_globally_range_ordered(spark):
+    df = spark.range(0, 300).withColumn(
+        "doc_id", F.concat(F.lit("x"), F.col("id")))
+    out = sampling.epoch_shuffle(df, "doc_id", shards=5)
+    ranks = [r["shuffle_rank"] for r in out.select("shuffle_rank")
+             .collect()]
+    assert ranks == sorted(ranks)      # shard concatenation = global order
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange") == 1  # one range exchange, no joins
+
+
+def test_mixture_interleave_weights_and_copies(spark):
+    a = spark.range(0, 200).withColumn(
+        "doc_id", F.concat(F.lit("a"), F.col("id")))
+    b = spark.range(0, 200).withColumn(
+        "doc_id", F.concat(F.lit("b"), F.col("id")))
+    out = sampling.mixture_interleave(
+        {"hi": (a, 2.5), "lo": (b, 0.25)}, "doc_id", epoch=0).cache()
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n"))
+              .collect()}
+    assert counts["hi"] >= 2 * 200          # 2 full copies + fraction
+    assert counts["hi"] <= 3 * 200
+    assert 0 < counts["lo"] < 200           # deterministic quarter-ish
+    # copies of the same doc carry distinct ranks (spread, not adjacent)
+    dup = (out.where(F.col("source") == "hi")
+              .groupBy("doc_id")
+              .agg(F.countDistinct("shuffle_rank").alias("k"),
+                   F.count("*").alias("n")))
+    assert dup.where(F.col("k") != F.col("n")).count() == 0
+    # re-run is bit-identical (retry-safety / reproducibility)
+    out2 = sampling.mixture_interleave(
+        {"hi": (a, 2.5), "lo": (b, 0.25)}, "doc_id", epoch=0)
+    r1 = [tuple(r) for r in out.select("doc_id", "source", "copy")
+          .collect()]
+    r2 = [tuple(r) for r in out2.select("doc_id", "source", "copy")
+          .collect()]
+    assert r1 == r2
+    out.unpersist()
