@@ -80,3 +80,40 @@ def test_pipeline_job_host_cap_and_redaction(spark, tmp_path, monkeypatch):
     assert final.where(F.col("text").contains("a@b.co")).count() == 0
     n_kept_pii = final.where(F.col("text").contains("[EMAIL]")).count()
     assert stats["pii_redactions"] >= n_kept_pii
+
+
+def test_pipeline_job_epoch_order(spark, tmp_path, monkeypatch):
+    """--order epoch:N writes the corpus in the deterministic per-epoch
+    training order: shard files concatenate to a rank-sorted stream."""
+    sys.path.insert(0, "/root/repo/tools")
+    import pipeline_job
+
+    out = str(tmp_path / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "pipeline_job.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out, "--vocab-size", "16", "--partitions", "4",
+        "--order", "epoch:2", "--no-redact",
+    ])
+    pipeline_job.main()
+    final = spark.read.parquet(out + "/docs")
+    assert "shuffle_rank" in final.columns
+    # the global-order contract: each shard file is a sorted run, and
+    # file k's rank range precedes file k+1's (reading shards in part-
+    # file name order reproduces the exact global order; a bare
+    # collect() is NOT ordered — Spark schedules splits by size)
+    per_file = (final
+                .select(F.input_file_name().alias("f"), "shuffle_rank")
+                .groupBy("f")
+                .agg(F.min("shuffle_rank").alias("lo"),
+                     F.max("shuffle_rank").alias("hi"),
+                     F.count("*").alias("n"))
+                .orderBy("f").collect())
+    assert sum(r["n"] for r in per_file) > 0
+    for prev, cur in zip(per_file, per_file[1:]):
+        assert prev["hi"] <= cur["lo"], (prev, cur)
+    in_file = [r["shuffle_rank"] for r in
+               final.where(F.input_file_name()
+                           == per_file[0]["f"])
+               .select("shuffle_rank").collect()]
+    assert in_file == sorted(in_file)

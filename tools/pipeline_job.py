@@ -53,6 +53,11 @@ def main() -> None:
     ap.add_argument("--url-col", default=None)
     ap.add_argument("--max-per-host", type=int, default=10000)
     ap.add_argument("--no-redact", action="store_true")
+    ap.add_argument("--order", default="range",
+                    help="'range' (default: doc_id-sorted, zone-map-"
+                         "prunable) or 'epoch:N' (deterministic "
+                         "training order for epoch N via "
+                         "sampling.epoch_shuffle)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -134,10 +139,19 @@ def main() -> None:
     vocab.write.mode("overwrite").parquet(f"{args.output}/vocab")
     encoded = textops.encode_documents(docs, vocab)
 
-    # 7. range-sorted output (zone-map-prunable by doc_id)
-    sources.write_range_sorted(
-        docs.join(encoded, "doc_id"), f"{args.output}/docs",
-        sort_col="doc_id", partitions=args.partitions)
+    # 8. final write: analytics order (range-sorted by doc_id, zone-map
+    # prunable) or training order (deterministic per-epoch shuffle —
+    # shard files concatenate to the exact global pseudorandom order)
+    final = docs.join(encoded, "doc_id")
+    if args.order.startswith("epoch"):
+        epoch = int(args.order.split(":")[1]) if ":" in args.order else 0
+        (sampling.epoch_shuffle(final, "doc_id", epoch=epoch,
+                                shards=args.partitions)
+         .write.mode("overwrite").parquet(f"{args.output}/docs"))
+    else:
+        sources.write_range_sorted(
+            final, f"{args.output}/docs",
+            sort_col="doc_id", partitions=args.partitions)
     stats["written"] = spark.read.parquet(f"{args.output}/docs").count()
 
     docs.unpersist()
