@@ -138,9 +138,81 @@ def minhash_signature_cols(tokens: Column, *, num_hashes: int = 8,
             for i in range(num_hashes)]
 
 
+def _minhash_signatures_arrow(df: DataFrame, text_col: str,
+                              id_col: str, *, num_hashes: int,
+                              shingle_n: int) -> DataFrame:
+    """Arrow-batched minhash: BIT-IDENTICAL to the expression fold
+    (same ``split(' ')`` empty-token behavior, same short-doc
+    whole-text shingle, same ``md5('{i}:' + shingle)`` streams, same
+    lexicographic-min rule, null text folds to the ``"~"`` init
+    sentinel exactly like the expression) but computed with hashlib
+    inside ``mapInPandas``. The Catalyst ``aggregate``/``zip_with``
+    fold is interpreted per element and allocates a fresh
+    ``num_hashes``-ary array per shingle; the Python walk just keeps
+    ``num_hashes`` running byte-minima. Zero shuffle either way; the
+    per-doc signature cost is THE scale cost of minhash dedup at
+    10^12 docs. Parity pinned by
+    ``test_minhash_arrow_matches_expression``."""
+    import hashlib
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField(id_col, df.schema[id_col].dataType)]
+        + [StructField(f"mh{i}", StringType()) for i in range(num_hashes)])
+    prefixes = [f"{i}:".encode() for i in range(num_hashes)]
+
+    def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: list[list] = [[] for _ in range(num_hashes)]
+            for text in pdf[text_col]:
+                if text is None:
+                    # expression parity: null text folds to the "~"
+                    # sentinel (md5(concat('{i}:', null)) is null and
+                    # least() IGNORES nulls, so the init survives)
+                    for c in cols:
+                        c.append("~")
+                    continue
+                toks = text.split(" ")
+                if len(toks) >= shingle_n:
+                    sh = dict.fromkeys(
+                        " ".join(toks[j:j + shingle_n])
+                        for j in range(len(toks) - shingle_n + 1))
+                else:
+                    sh = {" ".join(toks): None}
+                minima = [b"~"] * num_hashes
+                for s in sh:
+                    sb = s.encode()
+                    for i in range(num_hashes):
+                        h = hashlib.md5(prefixes[i] + sb).hexdigest() \
+                            .encode()
+                        if h < minima[i]:
+                            minima[i] = h
+                for i in range(num_hashes):
+                    cols[i].append(minima[i].decode())
+            out = {id_col: pdf[id_col]}
+            for i in range(num_hashes):
+                out[f"mh{i}"] = cols[i]
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(sign, schema)
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", *, num_hashes: int = 8,
-                       shingle_n: int = 3) -> DataFrame:
+                       shingle_n: int = 3,
+                       impl: str = "auto") -> DataFrame:
+    """``impl``: "auto"/"arrow" = hashlib walk in ``mapInPandas``
+    (bit-identical, several times faster — see
+    ``_minhash_signatures_arrow``); "expr" = the pure-Catalyst fold
+    (kept as the oracle/parity twin and for plans that must stay
+    whole-stage-codegen'd end to end)."""
+    if impl in ("auto", "arrow"):
+        return _minhash_signatures_arrow(df, text_col, id_col,
+                                         num_hashes=num_hashes,
+                                         shingle_n=shingle_n)
     toks = tokens_col(text_col)
     return df.select(F.col(id_col),
                      *minhash_signature_cols(toks, num_hashes=num_hashes,

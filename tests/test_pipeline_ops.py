@@ -581,3 +581,34 @@ def test_simhash_banded_arrow_matches_expression(spark, sf_dir):
     auto = {r["doc_id"]: tuple(r)[1:] for r in
             dedup.simhash_banded(docs, bits=256, bands=8).collect()}
     assert auto == expr  # auto routes >128 bits to the arrow path
+
+
+def test_minhash_arrow_matches_expression(spark):
+    """The Arrow hashlib walk is bit-identical to the Catalyst fold on
+    every edge the expression path has: null text (folds to the "~"
+    init sentinel — least() ignores nulls), empty string, docs
+    shorter than the shingle width (whole-text shingle), repeated
+    tokens (array_distinct), multiple/leading/trailing spaces (split
+    keeps empty tokens), and unicode."""
+    rows = [("d0", None), ("d1", ""), ("d2", "one"), ("d3", "one two"),
+            ("d4", "one two three"), ("d5", "a b c d e f g h"),
+            ("d6", "dup dup dup dup dup"), ("d7", "a  b   c"),
+            ("d8", " leading and trailing "), ("d9", "naïve café 官话"),
+            ("d10", "x y z x y z x y z")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for num_hashes, n in [(8, 3), (4, 2), (1, 5)]:
+        expr = {r["doc_id"]: tuple(r)[1:] for r in
+                dedup.minhash_signatures(
+                    df, num_hashes=num_hashes, shingle_n=n,
+                    impl="expr").collect()}
+        arrow = {r["doc_id"]: tuple(r)[1:] for r in
+                 dedup.minhash_signatures(
+                     df, num_hashes=num_hashes, shingle_n=n,
+                     impl="arrow").collect()}
+        assert expr == arrow, (num_hashes, n)
+
+
+def test_lsh_pairs_identical_under_both_minhash_impls(near_dup_docs):
+    want = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(
+        near_dup_docs, bands=8, rows_per_band=1).collect()}
+    assert want  # non-trivial fixture
