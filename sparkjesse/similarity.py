@@ -49,9 +49,73 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / norm_col(a) / norm_col(b)
 
 
+def _cosine_pairs_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized pairwise cosine, BIT-IDENTICAL to ``cosine_col``.
+
+    The expression fold is interpreted per array element, and the
+    all-pairs scoring join evaluates it |Q|×|C| times — the inner loop
+    of similarity search. This UDF vectorizes ACROSS PAIRS while
+    looping over DIMENSIONS, so each pair's accumulator sees the exact
+    same IEEE-double operation sequence as the left fold
+    (``acc = (((0+p0)+p1)+…)``, float→double casts exact, then
+    ``dot/sqrt(na)/sqrt(nb)`` divide-twice) — bit-for-bit equal
+    results, parity test-pinned. Row-level nulls and length-mismatched
+    pairs return null exactly like ``zip_with`` null-poisoning.
+    Caveats (documented contract): a null ELEMENT inside an embedding
+    arrives from Arrow as NaN and yields NaN where the expression path
+    yields null — don't feed element-null embeddings to the arrow
+    impl; and a ZERO-NORM vector yields NaN here where the expression
+    path raises DIVIDE_BY_ZERO under Spark 4 ANSI mode."""
+    n = len(a)
+    out = np.full(n, np.nan)
+    valid = np.empty(n, dtype=bool)
+    arrs_a, arrs_b = a.to_numpy(), b.to_numpy()
+    for i in range(n):
+        va, vb = arrs_a[i], arrs_b[i]
+        valid[i] = va is not None and vb is not None and len(va) == len(vb)
+    idx = np.nonzero(valid)[0]
+    if len(idx):
+        lens = np.array([len(arrs_a[i]) for i in idx])
+        for dim in np.unique(lens):
+            sub = idx[lens == dim]
+            A = np.stack([arrs_a[i] for i in sub]).astype(np.float64)
+            B = np.stack([arrs_b[i] for i in sub]).astype(np.float64)
+            dot = np.zeros(len(sub))
+            na = np.zeros(len(sub))
+            nb = np.zeros(len(sub))
+            for d in range(dim):
+                dot += A[:, d] * B[:, d]
+                na += A[:, d] * A[:, d]
+                nb += B[:, d] * B[:, d]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[sub] = dot / np.sqrt(na) / np.sqrt(nb)
+    res = pd.Series(out, dtype="object")
+    res[~valid] = None
+    return res.astype("Float64")
+
+
+_COSINE_UDF = None
+
+
+def cosine_pairs_udf(a: Column, b: Column) -> Column:
+    """``_cosine_pairs_batch`` as a pandas UDF (built lazily — the
+    decorator needs an active SparkSession, and this module imports
+    fine without one)."""
+    global _COSINE_UDF
+    if _COSINE_UDF is None:
+        _COSINE_UDF = F.pandas_udf(_cosine_pairs_batch, "double")
+    return _COSINE_UDF(a, b)
+
+
+def _pair_cosine(qe: Column, ce: Column, impl: str) -> Column:
+    if impl in ("auto", "arrow"):
+        return cosine_pairs_udf(qe, ce)
+    return cosine_col(qe, ce)
+
+
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, *,
                      id_col: str = "vec_id", emb_col: str = "embedding",
-                     k: int = 5) -> DataFrame:
+                     k: int = 5, impl: str = "auto") -> DataFrame:
     """Exact top-k neighbors per query (cosine desc, neighbor id asc as
     the deterministic tiebreak). Query side is broadcast — the corpus is
     scanned once, map-side, with no corpus shuffle; the only shuffle is
@@ -63,7 +127,8 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, *,
                             F.col(emb_col).alias("__ce__"))
               .join(q, F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
-                      F.round(cosine_col(F.col("__qe__"), F.col("__ce__")), 6)
+                      F.round(_pair_cosine(F.col("__qe__"), F.col("__ce__"),
+                                           impl), 6)
                       .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
@@ -335,7 +400,7 @@ def assignment_parity(corpus: DataFrame, *, id_col: str = "vec_id",
 def ann_topk_bucketed(queries: DataFrame, corpus: DataFrame, *,
                       id_col: str = "vec_id", emb_col: str = "embedding",
                       k: int = 3, bits: int = 4,
-                      multiprobe: int = 1) -> DataFrame:
+                      multiprobe: int = 1, impl: str = "auto") -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign
     bucket, MULTI-PROBED. ``multiprobe=1`` (default) probes the
     query's own bucket plus every Hamming-1 neighbor bucket
@@ -369,7 +434,8 @@ def ann_topk_bucketed(queries: DataFrame, corpus: DataFrame, *,
     scored = (c.join(q, on="bucket")
                .where(F.col("query_id") != F.col("neighbor_id"))
                .select("query_id", "neighbor_id",
-                       F.round(cosine_col(F.col("__qe__"), F.col("__ce__")),
+                       F.round(_pair_cosine(F.col("__qe__"),
+                                            F.col("__ce__"), impl),
                                6).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -612,3 +614,52 @@ def test_lsh_pairs_identical_under_both_minhash_impls(near_dup_docs):
     want = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(
         near_dup_docs, bands=8, rows_per_band=1).collect()}
     assert want  # non-trivial fixture
+
+
+def test_cosine_pairs_udf_bit_identical_to_expression(spark):
+    """The vectorized pairwise cosine must equal the expression fold
+    BIT-FOR-BIT: it loops over dimensions so each pair's accumulator
+    sees the same IEEE-double op sequence as the left fold. Pins
+    random float32 vectors (several dims), row nulls, and
+    length-mismatched pairs (null-poisoned in the expression).
+    Zero-norm vectors are NOT compared: under Spark 4 ANSI mode the
+    expression path RAISES DIVIDE_BY_ZERO while the UDF returns NaN —
+    the UDF is the more forgiving of the two (documented in the
+    docstring)."""
+    import random
+    rnd = random.Random(7)
+    rows = []
+    for i in range(200):
+        d = rnd.choice([4, 16, 16, 16, 33])
+        rows.append((f"v{i}",
+                     [rnd.uniform(-2, 2) for _ in range(d)],
+                     [rnd.uniform(-2, 2) for _ in range(d)]))
+    rows += [("nullrow", None, [1.0] * 4),
+             ("mismatch", [1.0] * 4, [1.0] * 5)]
+    df = spark.createDataFrame(
+        rows, "id string, a array<float>, b array<float>")
+    got = {r["id"]: (r["e"], r["u"]) for r in df.select(
+        "id",
+        similarity.cosine_col(F.col("a"), F.col("b")).alias("e"),
+        similarity.cosine_pairs_udf(F.col("a"), F.col("b")).alias("u"))
+        .collect()}
+    for key, (e, u) in got.items():
+        if e is None or (isinstance(e, float) and math.isnan(e)):
+            assert u is None or (isinstance(u, float) and math.isnan(u)), \
+                (key, e, u)
+        else:
+            assert e == u and str(e) == str(u), (key, e, u)
+
+
+def test_brute_force_topk_impls_agree(spark):
+    import random
+    rnd = random.Random(11)
+    vecs = [(f"v{i}", [rnd.uniform(-1, 1) for _ in range(16)])
+            for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id string, embedding array<float>")
+    q = df.limit(5)
+    a = sorted(map(tuple, similarity.brute_force_topk(
+        q, df, k=4, impl="expr").collect()))
+    b = sorted(map(tuple, similarity.brute_force_topk(
+        q, df, k=4, impl="arrow").collect()))
+    assert a == b
