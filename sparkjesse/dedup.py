@@ -145,14 +145,15 @@ def _minhash_signatures_arrow(df: DataFrame, text_col: str,
     (same ``split(' ')`` empty-token behavior, same short-doc
     whole-text shingle, same ``md5('{i}:' + shingle)`` streams, same
     lexicographic-min rule, null text folds to the ``"~"`` init
-    sentinel exactly like the expression) but computed with hashlib
-    inside ``mapInPandas``. The Catalyst ``aggregate``/``zip_with``
-    fold is interpreted per element and allocates a fresh
-    ``num_hashes``-ary array per shingle; the Python walk just keeps
-    ``num_hashes`` running byte-minima. Zero shuffle either way; the
-    per-doc signature cost is THE scale cost of minhash dedup at
-    10^12 docs. Parity pinned by
-    ``test_minhash_arrow_matches_expression``."""
+    sentinel exactly like the expression) computed with hashlib inside
+    ``mapInPandas``. MEASURED SLOWER than the expression fold (warmed
+    sf0.1 A/B: expr ~0.5 s, arrow ~2.0 s): at 8 hashes the fold is
+    JVM-native-md5-bound, not interpreter-bound, so per-call Python
+    md5 overhead loses — the opposite of the 256-vote wide-SimHash
+    case, where the interpreted vote fold dominates. Kept as a
+    DIFFERENTIAL-TESTING twin (an independent reimplementation the
+    parity test checks the expression against), not a fast path.
+    Parity pinned by ``test_minhash_arrow_matches_expression``."""
     import hashlib
     from typing import Iterator
 
@@ -204,12 +205,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", *, num_hashes: int = 8,
                        shingle_n: int = 3,
                        impl: str = "auto") -> DataFrame:
-    """``impl``: "auto"/"arrow" = hashlib walk in ``mapInPandas``
-    (bit-identical, several times faster — see
-    ``_minhash_signatures_arrow``); "expr" = the pure-Catalyst fold
-    (kept as the oracle/parity twin and for plans that must stay
-    whole-stage-codegen'd end to end)."""
-    if impl in ("auto", "arrow"):
+    """``impl``: "auto"/"expr" = the pure-Catalyst fold — measured
+    ~4× FASTER than the Arrow walk at the default 8 hashes (JVM-native
+    md5 dominates; see ``_minhash_signatures_arrow`` for the numbers
+    and why wide SimHash goes the other way); "arrow" = the
+    bit-identical hashlib walk, kept as a differential-testing twin."""
+    if impl == "arrow":
         return _minhash_signatures_arrow(df, text_col, id_col,
                                          num_hashes=num_hashes,
                                          shingle_n=shingle_n)
