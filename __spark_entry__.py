@@ -502,6 +502,16 @@ def _dd_para(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             para_tokens=8)
 
 
+def _dd_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (Lee et al. 2022 sliding-window-hash
+    form): every duplicated 8-token span across the corpus with its
+    occurrence count, doc spread, and min-(doc,pos) keeper. winnow=1
+    = complete at span granularity; the winnowed (content-defined
+    sampling) path is pinned by pytest against this one."""
+    return dedup.duplicate_spans(_docs(spark, sf_dir), span_tokens=8,
+                                 winnow=1)
+
+
 def _dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs → connected components: every doc in any
     pair labeled with its component's min id (the canonical keeper).
@@ -712,7 +722,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_tokens": _txt_tokens,
         "txt_quality": _txt_quality,
         "txt_langid": _txt_langid,
-        "txt_fingerprint": _txt_fingerprint,
         "txt_top_tokens": _txt_top_tokens,
         "txt_tfidf": _txt_tfidf,
         "txt_repetition": _txt_repetition,
@@ -730,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash_pairs": _dd_simhash_pairs,
         "dd_simhash_wide": _dd_simhash_wide,
         "dd_para": _dd_para,
+        "dd_spans": _dd_spans,
         "dd_clusters": _dd_clusters,
         "dd_decontaminate": _dd_decontaminate,
         "dd_jaccard": _dd_jaccard,
@@ -1286,12 +1296,6 @@ FROM (SELECT doc_id,
                    for lang in textops.LANG_PRIORITY)}
       FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
 """,
-        "txt_fingerprint": f"""
-SELECT doc_id, md5(text) AS content_md5,
-       md5(array_to_string(list_slice(toks, 1, 3), ' ')) AS prefix_md5,
-       len({_SHINGLES})::INT AS n_shingles
-FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
-""",
         "txt_top_tokens": f"""
 WITH c AS (SELECT lang, tok AS token, count(*)::BIGINT AS n
            FROM (SELECT lang, unnest({_TOKS}) AS tok FROM documents)
@@ -1488,6 +1492,23 @@ g AS (SELECT para_key, count(*)::BIGINT AS group_size,
 SELECT para_key, group_size, n_docs,
        (enc // 1048576)::BIGINT AS keep_doc,
        (enc % 1048576)::INT AS keep_para_idx
+FROM g
+""",
+        "dd_spans": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w AS (SELECT doc_id,
+        unnest([{{'pos': i, 'w': array_to_string(
+                   list_slice(toks, i + 1, i + 8), ' ')}}
+                FOR i IN range(0, greatest(len(toks) - 7, 0))]) AS ww
+      FROM t),
+e AS (SELECT doc_id, ww.pos AS pos, md5(ww.w) AS span_key FROM w),
+g AS (SELECT span_key, count(*)::BIGINT AS n_occurrences,
+             count(DISTINCT doc_id)::BIGINT AS n_docs,
+             min(doc_id * 1048576 + pos) AS enc
+      FROM e GROUP BY span_key HAVING count(*) >= 2)
+SELECT span_key, n_occurrences, n_docs,
+       (enc // 1048576)::BIGINT AS keep_doc,
+       (enc % 1048576)::INT AS keep_pos
 FROM g
 """,
         "mm_decode": f"""

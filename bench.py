@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "sim_topk", "sim_ann", "kvc_agg",
     # round 3 additions: event-time, corpus, and decontamination ops
     "ts_sessions", "ts_asof", "txt_tfidf", "dd_decontaminate",
+    # round 4: substring-level dedup (window explode + md5 groupBy)
+    "dd_spans",
     # round 3 additions: PII scrub + host-cap (regex scan / bounded top-k)
     "txt_redact", "web_hostcap",
 ]

@@ -107,6 +107,188 @@ def paragraph_duplicate_groups(df: DataFrame, text_col: str = "text",
                      .alias("keep_para_idx")))
 
 
+def token_windows(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", *,
+                  span_tokens: int = 8, stride: int = 1) -> DataFrame:
+    """Sliding token windows — ``span_tokens``-token spans anchored at
+    every ``stride``-th token position — as (id, pos, window_text)
+    rows. Expression-only (sequence → transform → explode), zero
+    shuffle; row count is ~tokens/stride per doc.
+
+    ``stride > 1`` is POSITION-anchored sampling: two copies of the
+    same substring only share a strided window when their offsets
+    agree mod ``stride``, so it is NOT a safe knob for cross-doc
+    duplicate detection — use :func:`winnowed_windows`
+    (content-defined selection, hard guarantee) for that. Strided
+    windows are still the right tool for position-aligned uses
+    (per-doc coverage estimates, fixture sampling). Documents shorter
+    than ``span_tokens`` yield no windows (a whole-doc duplicate of a
+    short doc is :func:`exact_duplicate_groups`'s job, not this
+    one's). ``pos`` is the 0-based token offset of the window start."""
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    toks = tokens_col(text_col)
+    # drop sub-window docs BEFORE building the index sequence:
+    # sequence(0, n-1) at n=0 would infer a descending step and yield
+    # [0,-1], so the filter is load-bearing, not just tidy
+    base = (df.select(F.col(id_col), toks.alias("__toks__"))
+              .where(F.size("__toks__") >= span_tokens))
+    t = F.col("__toks__")
+    # number of full windows: floor((len - span) / stride) + 1 (>= 1
+    # after the filter) — all per-row arithmetic
+    n_wins = (F.floor((F.size(t) - span_tokens) / stride)
+               .cast("int") + 1)
+    wins = F.transform(
+        F.sequence(F.lit(0), n_wins - 1),
+        lambda i: F.struct(
+            (i * stride).cast("int").alias("pos"),
+            F.array_join(
+                F.slice(t, i * stride + 1, span_tokens),
+                " ").alias("window_text")))
+    return (base.select(F.col(id_col), F.explode(wins).alias("w"))
+                .select(F.col(id_col), F.col("w.pos").alias("pos"),
+                        F.col("w.window_text").alias("window_text")))
+
+
+def winnowed_windows(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", *,
+                     span_tokens: int = 8,
+                     winnow: int = 4) -> DataFrame:
+    """Content-defined window selection — winnowing (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003; the MOSS fingerprinting
+    algorithm): over the stride-1 window hashes, slide a ``winnow``-
+    wide selection window and keep the RIGHTMOST MINIMAL hash in each.
+    Because the selection depends only on window *content* (hash
+    values and relative order), two copies of the same substring
+    select the same windows no matter how each copy is offset — the
+    property position-strided sampling lacks.
+
+    Hard guarantee (winnowing theorem): every duplicated substring of
+    at least ``span_tokens + winnow - 1`` tokens shares at least one
+    selected window between its copies. Expected density of kept
+    windows is 2/(winnow+1), so ``winnow`` is the safe cost knob for
+    :func:`duplicate_spans` — ~2/(w+1) of the stride-1 row count with
+    a provable detection floor instead of a silent mod-offset miss.
+
+    Entirely per-row array expressions (transform / slice / reverse /
+    array_position over the hash array) — zero shuffle, no UDF."""
+    if winnow < 1:
+        raise ValueError("winnow must be >= 1")
+    if winnow == 1:
+        return token_windows(df, text_col, id_col,
+                             span_tokens=span_tokens, stride=1)
+    toks = tokens_col(text_col)
+    base = (df.select(F.col(id_col), toks.alias("__toks__"))
+              .where(F.size("__toks__") >= span_tokens))
+    t = F.col("__toks__")
+    n_wins = F.size(t) - span_tokens + 1  # >= 1 after the filter
+    texts = F.transform(
+        F.sequence(F.lit(0), n_wins - 1),
+        lambda i: F.array_join(F.slice(t, i + 1, span_tokens), " "))
+    hs = F.transform(texts, F.md5)
+    # selection-window starts: 0 .. max(n_wins - winnow, 0); each
+    # keeps the rightmost minimal hash of slice(hs, s+1, winnow)
+    # (slice truncates at the array end, so a short tail still
+    # selects). rightmost-min = len(slice) - first-pos-in-reversed.
+    def _sel(s: Column) -> Column:
+        sl = F.slice(hs, s + 1, winnow)
+        return (s + F.size(sl)
+                - F.array_position(F.reverse(sl), F.array_min(sl))
+                ).cast("int")
+    sel = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(n_wins - winnow, F.lit(0))),
+        _sel))
+    return (base.select(F.col(id_col), texts.alias("__texts__"),
+                        F.explode(sel).alias("pos"))
+                .select(F.col(id_col), F.col("pos"),
+                        F.element_at("__texts__", F.col("pos") + 1)
+                         .alias("window_text")))
+
+
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", *,
+                    span_tokens: int = 8, winnow: int = 1,
+                    min_occurrences: int = 2) -> DataFrame:
+    """Exact duplicated token *spans* across the corpus — the
+    substring-level granularity below :func:`paragraph_duplicate_groups`
+    (fixed windows) and :func:`exact_duplicate_groups` (whole docs).
+    This is the scalable sliding-window-hash form of suffix-array
+    training-data dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": repeated >=50-token spans): hash
+    every window, group on the hash, keep hashes occurring
+    ``min_occurrences``+ times. One row per duplicated span with its
+    occurrence count, distinct-doc spread, and canonical keeper (the
+    lexicographically-min (doc, pos), min-encoded exactly like
+    :func:`paragraph_duplicate_groups` so any ANSI engine reproduces
+    it bit-for-bit).
+
+    ``winnow=1`` hashes every window (complete at span granularity);
+    ``winnow=w>1`` selects ~2/(w+1) of the windows via
+    :func:`winnowed_windows`, keeping the provable floor — every
+    duplicated substring of ``span_tokens + winnow - 1``+ tokens is
+    still caught. (A position-stride knob was rejected: both copies
+    must agree on offset mod stride, which silently misses cross-doc
+    duplicates — see :func:`token_windows`.)
+
+    100 TB shape: the explode multiplies rows by ~tokens (× 2/(w+1)
+    under winnowing — that is the cost knob); the only shuffle is the
+    md5 groupBy with map-side partial aggregation, so exchange volume
+    is #distinct windows, not #window occurrences. No window function,
+    no join, no driver materialization."""
+    w = winnowed_windows(df, text_col, id_col,
+                         span_tokens=span_tokens, winnow=winnow)
+    # pos < 2^20 (an 8M-token doc) and doc_id < 2^43 keep the min-
+    # encoding exact — same contract as paragraph_duplicate_groups
+    enc = F.min(F.col(id_col) * F.lit(1 << 20) + F.col("pos"))
+    return (w.groupBy(F.md5("window_text").alias("span_key"))
+             .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                  F.count_distinct(F.col(id_col)).alias("n_docs"),
+                  enc.alias("__enc__"))
+             .where(F.col("n_occurrences") >= min_occurrences)
+             .select("span_key", "n_occurrences", "n_docs",
+                     F.floor(F.col("__enc__") / F.lit(1 << 20))
+                     .alias("keep_doc"),
+                     (F.col("__enc__") % F.lit(1 << 20)).cast("int")
+                     .alias("keep_pos")))
+
+
+def span_dup_rate(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", *,
+                  span_tokens: int = 8) -> DataFrame:
+    """Per-document duplicated-span rate: the fraction of a doc's
+    anchored windows whose exact text occurs anywhere else in the
+    corpus (including other positions of the same doc). The standard
+    per-doc quality signal built on :func:`duplicate_spans` — docs that
+    are mostly boilerplate score near 1.0 and get filtered or
+    downweighted before training.
+
+    Plan: one md5 groupBy for global window counts, an equijoin of
+    windows back onto those counts on the same key (AQE reuses the
+    hash partitioning — no broadcast of the unbounded span table), and
+    one groupBy(doc). Docs with no full window surface n_windows=0,
+    dup_rate=0.0 via a count-preserving aggregation over the original
+    frame, so the output has exactly one row per input doc."""
+    w = token_windows(df, text_col, id_col,
+                      span_tokens=span_tokens, stride=1)
+    counts = (w.groupBy(F.md5("window_text").alias("span_key"))
+               .agg(F.count(F.lit(1)).alias("n_occ")))
+    per_doc = (w.select(F.col(id_col),
+                        F.md5("window_text").alias("span_key"))
+                .join(counts, "span_key")
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("n_windows"),
+                     F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+                      .alias("n_dup_windows")))
+    return (df.select(id_col).join(per_doc, id_col, "left")
+              .select(F.col(id_col),
+                      F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+                      F.coalesce("n_dup_windows", F.lit(0))
+                       .alias("n_dup_windows"),
+                      F.round(F.coalesce(F.col("n_dup_windows")
+                                         / F.col("n_windows"), F.lit(0.0)),
+                              6).alias("dup_rate")))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

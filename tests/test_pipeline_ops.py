@@ -421,6 +421,87 @@ def test_paragraph_duplicate_groups(spark):
     assert len(groups) == 2  # doc 3 contributes nothing
 
 
+def test_token_windows_anchors_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y")], ["doc_id", "text"])
+    rows = sorted((r["doc_id"], r["pos"], r["window_text"]) for r in
+                  dedup.token_windows(df, span_tokens=4,
+                                      stride=2).collect())
+    # 7 tokens, span 4, stride 2 -> anchors at 0 and 2 only (pos 4
+    # would need tokens 5..8); doc 2 (< span tokens) yields nothing
+    assert rows == [(1, 0, "a b c d"), (1, 2, "c d e f")]
+
+
+def test_duplicate_spans_cross_doc_and_keeper(spark):
+    inj = "one two three four five six seven eight"
+    rows = [
+        (1, "lead in words then " + inj + " and a unique tail here"),
+        (2, inj + " with an entirely different continuation text"),
+        (3, "no shared material in this document at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = dedup.duplicate_spans(df, span_tokens=8).collect()
+    # exactly one duplicated 8-token window: the injected span, which
+    # starts at token 4 of doc 1 and token 0 of doc 2
+    assert len(spans) == 1
+    s = spans[0]
+    assert (s["n_occurrences"], s["n_docs"]) == (2, 2)
+    assert (s["keep_doc"], s["keep_pos"]) == (1, 4)
+
+
+def test_duplicate_spans_winnow_detection_floor(spark):
+    # winnowing theorem: any duplicated substring of span+winnow-1
+    # tokens is caught regardless of its offset in either copy.
+    # span=4, winnow=3 -> floor 6; embed 6-token duplicates at every
+    # misaligned offset pair (the case that breaks position-striding:
+    # offsets 2 vs 1 disagree mod 3).
+    dup = "p q r s t u"
+    for off1, off2 in [(0, 1), (1, 2), (2, 1), (0, 2), (2, 0)]:
+        pre1 = " ".join(f"a{i}" for i in range(off1))
+        pre2 = " ".join(f"b{i}" for i in range(off2))
+        rows = [(1, (pre1 + " " + dup + " c d e").strip()),
+                (2, (pre2 + " " + dup + " x y z v k").strip())]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        spans = dedup.duplicate_spans(df, span_tokens=4,
+                                      winnow=3).collect()
+        cross = [s for s in spans if s["n_docs"] == 2]
+        assert cross, f"missed duplicate at offsets {(off1, off2)}"
+
+
+def test_winnowed_windows_content_defined_and_density(spark):
+    # identical docs select identical (pos, text) windows; selection
+    # is a subset of the stride-1 windows; rightmost-min tie rule is
+    # deterministic (same corpus twice -> same selection)
+    text = " ".join(f"t{i % 7}" for i in range(40))
+    df = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    sel = dedup.winnowed_windows(df, span_tokens=4, winnow=5).collect()
+    by_doc = {}
+    for r in sel:
+        by_doc.setdefault(r["doc_id"], set()).add(
+            (r["pos"], r["window_text"]))
+    assert by_doc[1] == by_doc[2]
+    full = {(r["pos"], r["window_text"]) for r in
+            dedup.token_windows(df.where("doc_id = 1"), span_tokens=4,
+                                stride=1).collect()}
+    assert by_doc[1] < full  # strict subset: winnowing dropped some
+
+
+def test_span_dup_rate_counts_and_zero_window_docs(spark):
+    rep = "c1 c2 c3 c4 c5 c6 c7 c8"
+    rows = [(1, rep + " " + rep),                 # heavy intra-doc repeat
+            (2, "all fresh words never repeated anywhere in corpus x9"),
+            (3, "tiny")]                          # no full window
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           dedup.span_dup_rate(df, span_tokens=8).collect()}
+    assert len(got) == 3  # count-preserving, one row per input doc
+    # doc 1: 9 windows (16 tokens), window at pos 0 == window at pos 8
+    assert got[1]["n_windows"] == 9 and got[1]["n_dup_windows"] == 2
+    assert got[1]["dup_rate"] == pytest.approx(2 / 9, abs=1e-6)
+    assert (got[2]["n_dup_windows"], got[2]["dup_rate"]) == (0, 0.0)
+    assert (got[3]["n_windows"], got[3]["dup_rate"]) == (0, 0.0)
+
+
 # -- multi-digest (>128-bit) SimHash ----------------------------------------
 
 def _py_simhash_bands(text: str, bits: int, bands: int) -> tuple:
