@@ -289,6 +289,70 @@ def span_dup_rate(df: DataFrame, text_col: str = "text",
                               6).alias("dup_rate")))
 
 
+def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", *,
+                           span_tokens: int = 8,
+                           min_occurrences: int = 2) -> DataFrame:
+    """The removal step of substring-level dedup (Lee et al. 2022
+    §3.1, their ExactSubstr dedup): delete every occurrence of a
+    duplicated ``span_tokens``-token span EXCEPT the canonical keeper
+    (:func:`duplicate_spans`'s min-(doc,pos) occurrence), then rebuild
+    each document from its surviving tokens. Overlapping duplicated
+    windows merge naturally — a token is dropped if ANY non-keeper
+    duplicated window covers it. Returns the full input frame with
+    ``text`` rewritten plus ``n_tokens_removed`` for auditability;
+    docs without duplicated spans pass through byte-identical.
+
+    Plan: windows → one md5 groupBy (the :func:`duplicate_spans`
+    exchange) → equijoin of window occurrences onto duplicated keys
+    (same key, exchange reused under AQE) → per-doc collect of the
+    (bounded-by-token-count) drop positions → one join back onto the
+    corpus → expression-only token rebuild. No window function; the
+    per-doc position array is the only collected structure and is
+    capped by doc length, never by corpus size."""
+    w = (token_windows(df, text_col, id_col,
+                       span_tokens=span_tokens, stride=1)
+         .select(F.col(id_col), "pos",
+                 F.md5("window_text").alias("span_key")))
+    dups = (w.groupBy("span_key")
+             .agg(F.count(F.lit(1)).alias("n_occ"),
+                  F.min(F.col(id_col) * F.lit(1 << 20) + F.col("pos"))
+                   .alias("__enc__"))
+             .where(F.col("n_occ") >= min_occurrences)
+             .select("span_key",
+                     F.floor(F.col("__enc__") / F.lit(1 << 20))
+                      .alias("keep_doc"),
+                     (F.col("__enc__") % F.lit(1 << 20)).cast("int")
+                      .alias("keep_pos")))
+    drops = (w.join(dups, "span_key")
+              .where(~((F.col(id_col) == F.col("keep_doc"))
+                       & (F.col("pos") == F.col("keep_pos"))))
+              .groupBy(id_col)
+              .agg(F.array_sort(F.collect_set("pos")).alias("__drops__")))
+    toks = tokens_col(text_col)
+    rebuilt = (df.join(drops, id_col, "left")
+                 .withColumn("__toks__", toks))
+    # token j survives unless some drop-start p covers it
+    # (p <= j < p + span) — per-row array expressions only
+    keep = F.filter(
+        F.sequence(F.lit(0), F.size("__toks__") - 1),
+        lambda j: ~F.coalesce(
+            F.exists("__drops__",
+                     lambda p: (p <= j) & (j < p + span_tokens)),
+            F.lit(False)))
+    return (rebuilt
+            .withColumn("__keep__", keep)
+            .withColumn("n_tokens_removed",
+                        (F.size("__toks__") - F.size("__keep__"))
+                        .cast("int"))
+            .withColumn(text_col,
+                        F.array_join(F.transform(
+                            "__keep__",
+                            lambda j: F.element_at(
+                                "__toks__", (j + 1).cast("int"))), " "))
+            .drop("__drops__", "__toks__", "__keep__"))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

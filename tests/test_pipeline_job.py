@@ -117,3 +117,36 @@ def test_pipeline_job_epoch_order(spark, tmp_path, monkeypatch):
                            == per_file[0]["f"])
                .select("shuffle_rank").collect()]
     assert in_file == sorted(in_file)
+
+
+def test_pipeline_job_span_dedup_stage(spark, tmp_path, monkeypatch):
+    """--span-dedup N strips repeated N-token spans after whole-doc
+    dedup; the removal count lands in stats and the funnel holds."""
+    sys.path.insert(0, "/root/repo/tools")
+    import pipeline_job
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(200)
+    boiler = ("subscribe to our newsletter today for all the very "
+              "latest updates")
+    (docs.withColumn(
+        "text", F.concat(F.lit(boiler + " "), F.col("text")))
+         .write.parquet(src))
+
+    monkeypatch.setattr(sys, "argv", [
+        "pipeline_job.py", "--input", src, "--output", out,
+        "--vocab-size", "16", "--partitions", "4",
+        "--span-dedup", "8", "--no-redact",
+    ])
+    pipeline_job.main()
+    with open(out + "_stats.json", encoding="utf-8") as fh:
+        stats = json.load(fh)
+    # every surviving doc except the keeper lost the injected prefix
+    assert stats["span_tokens_removed"] > 0
+    final = spark.read.parquet(out + "/docs")
+    n_with_boiler = final.where(
+        F.col("text").contains(boiler)).count()
+    assert n_with_boiler <= 1
+    assert final.count() == stats["written"]

@@ -502,6 +502,48 @@ def test_span_dup_rate_counts_and_zero_window_docs(spark):
     assert (got[3]["n_windows"], got[3]["dup_rate"]) == (0, 0.0)
 
 
+def test_remove_duplicate_spans_keeper_and_rewrite(spark):
+    inj = "one two three four five six seven eight"
+    rows = [
+        (1, "lead in words then " + inj + " and a unique tail here"),
+        (2, inj + " with an entirely different continuation text"),
+        (3, "no shared material in this document at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           dedup.remove_duplicate_spans(df, span_tokens=8).collect()}
+    assert len(got) == 3
+    # doc 1 holds the canonical (min doc, min pos) occurrence: intact
+    assert got[1]["text"] == rows[0][1]
+    assert got[1]["n_tokens_removed"] == 0
+    # doc 2 loses exactly the injected 8 tokens, order preserved
+    assert got[2]["text"] == "with an entirely different continuation text"
+    assert got[2]["n_tokens_removed"] == 8
+    # untouched doc passes through byte-identical
+    assert got[3]["text"] == rows[2][1]
+    assert got[3]["n_tokens_removed"] == 0
+
+
+def test_remove_duplicate_spans_whole_doc_copy_collapses(spark):
+    # an exact copy of a >=span doc loses every token (all its windows
+    # are non-keeper occurrences and their union covers the doc)
+    text = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           dedup.remove_duplicate_spans(df, span_tokens=8).collect()}
+    assert got[1]["text"] == text and got[1]["n_tokens_removed"] == 0
+    assert got[2]["text"] == "" and got[2]["n_tokens_removed"] == 12
+
+
+def test_remove_duplicate_spans_intra_doc_repeat(spark):
+    rep = "c1 c2 c3 c4 c5 c6 c7 c8"
+    df = spark.createDataFrame([(1, rep + " " + rep)], ["doc_id", "text"])
+    got = dedup.remove_duplicate_spans(df, span_tokens=8).collect()[0]
+    # second occurrence (pos 8..15) dropped, keeper at pos 0 survives
+    assert got["text"] == rep
+    assert got["n_tokens_removed"] == 8
+
+
 # -- multi-digest (>128-bit) SimHash ----------------------------------------
 
 def _py_simhash_bands(text: str, bits: int, bands: int) -> tuple:

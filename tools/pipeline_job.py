@@ -53,6 +53,10 @@ def main() -> None:
     ap.add_argument("--url-col", default=None)
     ap.add_argument("--max-per-host", type=int, default=10000)
     ap.add_argument("--no-redact", action="store_true")
+    ap.add_argument("--span-dedup", type=int, default=0, metavar="N",
+                    help="if N > 0, remove duplicated N-token spans "
+                         "(keep one canonical copy) after whole-doc "
+                         "dedup — dedup.remove_duplicate_spans")
     ap.add_argument("--order", default="range",
                     help="'range' (default: doc_id-sorted, zone-map-"
                          "prunable) or 'epoch:N' (deterministic "
@@ -109,6 +113,20 @@ def main() -> None:
                     .select("doc_id"))
     docs = docs.join(drop, "doc_id", "left_anti")
     stats["after_near_dedup"] = docs.count()
+
+    # 4.5 substring-level dedup: strip repeated spans that survive
+    # whole-doc and near-dup removal (boilerplate, quoted chunks)
+    if args.span_dedup > 0:
+        docs = dedup.remove_duplicate_spans(
+            docs, span_tokens=args.span_dedup)
+        stats["span_tokens_removed"] = int(docs.agg(
+            F.sum("n_tokens_removed")).collect()[0][0] or 0)
+        # truncate lineage: downstream encode_documents self-joins the
+        # corpus, and carrying the rebuilt-text expression tree into
+        # that join re-plans the pandas UDF into an interpreted
+        # projection (unevaluable). At production scale this stage
+        # boundary is a storage write anyway.
+        docs = docs.drop("n_tokens_removed").localCheckpoint(eager=False)
 
     # 5. decontamination against the benchmark/eval set
     if args.benchmark:
