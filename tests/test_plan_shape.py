@@ -192,3 +192,34 @@ def test_host_cap_keeper_minq_only_over_cap_hosts(spark):
     plan = _plan(urlops.host_cap_filter(df, max_per_host=5))
     assert "LeftSemi" in plan, plan[:3000]
     assert re.search(r"host_docs#\d+L? > 5", plan), plan[:3000]
+
+
+def test_winnowed_windows_zero_shuffle(spark):
+    """Winnowing selection is per-row array expressions only: no
+    Exchange, no Python eval node, and the scan reads just the two
+    referenced columns."""
+    from sparkjesse import dedup
+    docs = spark.read.parquet(DOCS)
+    plan = _plan(dedup.winnowed_windows(docs, span_tokens=8, winnow=4))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Python" not in plan, plan[:2000]
+    read = re.findall(r"ReadSchema: (\S+)", plan)
+    assert read and "doc_id" in read[0] and "lang" not in read[0]
+
+
+def test_duplicate_spans_single_groupby_no_join(spark):
+    """Substring dedup is windows -> one md5 groupBy: map-side partial
+    aggregation (the distinct-count rewrite may add a second exchange
+    over already-reduced partials, never over raw window occurrences),
+    and no join anywhere."""
+    from sparkjesse import dedup
+    docs = spark.read.parquet(DOCS)
+    plan = _plan(dedup.duplicate_spans(docs, span_tokens=8))
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Exchange") <= 2, plan[:2000]
+    # map-side combine exists: a partial aggregate sits between the
+    # window Generate and the first exchange (top-down plan text, so
+    # the deeper Generate prints AFTER the partial aggregate)
+    first_exchange = plan.index("Exchange")
+    assert "partial_count" in plan[first_exchange:], plan[:2000]
+    assert plan.index("Generate") > first_exchange, plan[:2000]
