@@ -476,3 +476,213 @@ def label_centroids(df: DataFrame, emb_col: str = "embedding",
     return (j.groupBy(label_col, "n", "centroid")
              .agg(F.round(F.avg(cos), 6).alias("cohesion"))
              .select(label_col, "n", "centroid", "cohesion"))
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — compressed-domain ANN for 10^12-row tables
+# ---------------------------------------------------------------------------
+
+def pq_train(corpus: DataFrame, *, id_col: str = "vec_id",
+             emb_col: str = "embedding", m: int = 4,
+             n_codes: int = 16, n_iters: int = 3) -> list:
+    """Product-quantization codebooks (Jégou, Douze & Schmid, TPAMI
+    2011): split the embedding into ``m`` contiguous equal-width
+    subspaces and Lloyd-train an ``n_codes``-entry L2 codebook per
+    subspace. Returns ``[(sub, [(code, subvector), ...]), ...]`` with
+    both levels sorted — the index structure for :func:`pq_encode` /
+    :func:`pq_topk`. PQ represents each vector in ``m`` small codes
+    (m bytes at n_codes=256), a 100-1000x compression that lets a
+    10^12-row corpus be scanned in the compressed domain.
+
+    Determinism contract (matches :func:`kmeans_codebook`): seeds are
+    the first ``n_codes`` corpus vectors by id (data-derived, no RNG),
+    iteration count is FIXED, per-partition partials carry their
+    partition id and are combined in sorted (sub, code, pid) order,
+    and centroids are rounded to 9 decimals per iteration. Empty cells
+    keep their previous centroid.
+
+    Scale shape per iteration: ONE corpus pass trains all ``m``
+    subspaces — ``mapInPandas`` emits at most ``partitions × m ×
+    n_codes`` tiny partial rows, a groupBy reduces them to ``m ×
+    n_codes``, and only that codebook-sized frame is collected. The
+    corpus never shuffles and never reaches the driver."""
+    from pyspark import TaskContext
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    seed_rows = (corpus.orderBy(F.col(id_col)).limit(n_codes)
+                 .select(emb_col).collect())
+    seeds = np.asarray([[float(x) for x in r[emb_col]]
+                        for r in seed_rows], dtype=np.float64)
+    k, dim = seeds.shape
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    sub = dim // m
+    # cb[s] is the (k, sub) codebook of subspace s
+    cb = [seeds[:, s * sub:(s + 1) * sub].copy() for s in range(m)]
+    partial_schema = StructType([
+        StructField("sub", LongType()),
+        StructField("code", LongType()),
+        StructField("pid", LongType()),
+        StructField("cnt", LongType()),
+        StructField("s", ArrayType(DoubleType())),
+    ])
+    emb_only = corpus.select(emb_col)
+    for _ in range(n_iters):
+        cb_iter = [c.copy() for c in cb]
+
+        def partials(batches: Iterator[pd.DataFrame]
+                     ) -> Iterator[pd.DataFrame]:
+            pid = TaskContext.get().partitionId()
+            cnt = np.zeros((m, k), dtype=np.int64)
+            acc = np.zeros((m, k, sub))
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                E = np.stack([np.asarray(e, dtype=np.float64)
+                              for e in pdf[emb_col]])
+                for s in range(m):
+                    X = E[:, s * sub:(s + 1) * sub]
+                    # squared L2 to every code; argmin -> lowest code
+                    d2 = ((X[:, None, :] - cb_iter[s][None, :, :]) ** 2
+                          ).sum(axis=2)
+                    codes = np.argmin(d2, axis=1)
+                    for c in np.unique(codes):
+                        msk = codes == c
+                        cnt[s, c] += int(msk.sum())
+                        acc[s, c] += X[msk].sum(axis=0)
+            out = {"sub": [], "code": [], "pid": [], "cnt": [], "s": []}
+            for s in range(m):
+                for c in np.nonzero(cnt[s])[0]:
+                    out["sub"].append(s)
+                    out["code"].append(int(c))
+                    out["pid"].append(pid)
+                    out["cnt"].append(int(cnt[s, c]))
+                    out["s"].append(acc[s, c])
+            yield pd.DataFrame(out)
+
+        def combine(key, pdf):
+            pdf = pdf.sort_values("pid")  # deterministic sum order
+            acc = np.zeros(sub)
+            for row in pdf["s"]:
+                acc += np.asarray(row)
+            n = int(pdf["cnt"].sum())
+            return pd.DataFrame({"sub": [key[0]], "code": [key[1]],
+                                 "cnt": [n], "s": [acc / n]})
+
+        rows = (emb_only.mapInPandas(partials, partial_schema)
+                .groupBy("sub", "code")
+                .applyInPandas(
+                    combine,
+                    "sub bigint, code bigint, cnt bigint, s array<double>")
+                .collect())
+        for r in rows:
+            cb[r["sub"]][r["code"]] = np.round(np.asarray(r["s"]), 9)
+    return [(s, [(c, [float(x) for x in cb[s][c]]) for c in range(k)])
+            for s in range(m)]
+
+
+def pq_encode(df: DataFrame, codebooks: list, *,
+              emb_col: str = "embedding",
+              out_col: str = "pq_code") -> DataFrame:
+    """Attach the ``m``-code PQ representation: per subspace, the
+    argmin-squared-L2 code (ties → lowest code). Zero shuffle — an
+    Arrow-batched pandas UDF with the (m × n_codes × sub) codebook
+    tensor broadcast in its closure; at production scale the code
+    column is written once next to the table and the raw embedding
+    column is no longer read by search scans."""
+    cbs = np.stack([np.asarray([v for _, v in book], dtype=np.float64)
+                    for _, book in sorted(codebooks)])
+    m, k, sub = cbs.shape
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(emb: pd.Series) -> pd.Series:
+        E = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
+        codes = np.empty((len(E), m), dtype=np.int32)
+        for s in range(m):
+            X = E[:, s * sub:(s + 1) * sub]
+            d2 = ((X[:, None, :] - cbs[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return df.withColumn(out_col, encode(F.col(emb_col)))
+
+
+def pq_topk(queries: DataFrame, corpus_codes: DataFrame,
+            codebooks: list, *, id_col: str = "vec_id",
+            code_col: str = "pq_code", emb_col: str = "embedding",
+            k: int = 3) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes:
+    queries stay full-precision, the corpus is scanned in the
+    compressed domain. Per query a lookup table LUT[sub][code] =
+    squared L2 between the query's subvector and that code's centroid
+    is built once (m × n_codes doubles); a corpus row's approximate
+    distance is the sum of m table lookups — no embedding arithmetic,
+    no raw-vector reads.
+
+    Scale shape: the query set is small by contract (same as
+    ``brute_force_topk``) and ships inside the ``mapInPandas``
+    closure; each partition emits only its LOCAL top-k per query
+    (``partitions × n_queries × k`` candidate rows), and one tiny
+    window pass picks the global top-k. The corpus is touched exactly
+    once, map-side, in compressed form. Ties break (distance asc,
+    neighbor id asc) in both the partition heap and the final rank."""
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    cbs = np.stack([np.asarray([v for _, v in book], dtype=np.float64)
+                    for _, book in sorted(codebooks)])
+    m, n_codes, sub = cbs.shape
+    q_rows = queries.select(id_col, emb_col).collect()
+    q_ids = np.asarray([r[id_col] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[emb_col], dtype=np.float64)
+                  for r in q_rows])
+    # LUT[q, s, c] — rounded to 9 so the sum-of-lookups is stable
+    lut = np.empty((len(q_ids), m, n_codes))
+    for s in range(m):
+        Xq = Q[:, s * sub:(s + 1) * sub]
+        lut[:, s, :] = np.round(
+            ((Xq[:, None, :] - cbs[s][None, :, :]) ** 2).sum(axis=2), 9)
+
+    out_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("adist", DoubleType()),
+    ])
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # running per-query top-k, re-merged per Arrow batch so
+        # partition memory is O(n_queries × (k + batch)), never
+        # O(n_queries × partition_rows)
+        best_ids = [np.empty(0, dtype=np.int64) for _ in q_ids]
+        best_d = [np.empty(0) for _ in q_ids]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack([np.asarray(c, dtype=np.int64)
+                              for c in pdf[code_col]])
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            # D[q, row] = sum_s LUT[q, s, codes[row, s]]
+            D = np.zeros((len(q_ids), len(ids)))
+            for s in range(m):
+                D += lut[:, s, codes[:, s]]
+            D = np.round(D, 9)
+            for qi in range(len(q_ids)):
+                cid = np.concatenate([best_ids[qi], ids])
+                cd = np.concatenate([best_d[qi], D[qi]])
+                order = np.lexsort((cid, cd))[:k]  # (dist, id) ties
+                best_ids[qi], best_d[qi] = cid[order], cd[order]
+        if not any(len(b) for b in best_ids):
+            return
+        rows = {"query_id": [], "neighbor_id": [], "adist": []}
+        for qi in range(len(q_ids)):
+            rows["query_id"].extend([q_ids[qi]] * len(best_ids[qi]))
+            rows["neighbor_id"].extend(best_ids[qi].tolist())
+            rows["adist"].extend(best_d[qi].tolist())
+        yield pd.DataFrame(rows)
+
+    cand = corpus_codes.select(id_col, code_col).mapInPandas(
+        scan, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "adist", "rank"))

@@ -786,3 +786,91 @@ def test_brute_force_topk_impls_agree(spark):
     b = sorted(map(tuple, similarity.brute_force_topk(
         q, df, k=4, impl="arrow").collect()))
     assert a == b
+
+
+# -- product quantization ----------------------------------------------------
+
+def _pq_fixture(spark, n=64, dim=8):
+    """Clustered vectors: 4 well-separated centers, deterministic
+    perturbations; ids 0..n-1."""
+    import math as _math
+    rows = []
+    for i in range(n):
+        c = i % 4
+        base = [10.0 * c + (1.0 if j == c else 0.0) for j in range(dim)]
+        pert = [0.01 * _math.sin(i * 31 + j * 7) for j in range(dim)]
+        rows.append((i, [float(b + p) for b, p in zip(base, pert)]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_pq_train_shapes_and_determinism(spark):
+    df = _pq_fixture(spark)
+    cb1 = similarity.pq_train(df, m=4, n_codes=8, n_iters=2)
+    cb2 = similarity.pq_train(df, m=4, n_codes=8, n_iters=2)
+    assert cb1 == cb2  # fixed seeds, fixed iters, ordered combines
+    assert [s for s, _ in cb1] == [0, 1, 2, 3]
+    for _, book in cb1:
+        assert [c for c, _ in book] == list(range(8))
+        assert all(len(v) == 2 for _, v in book)  # dim 8 / m 4
+
+
+def test_pq_train_rejects_indivisible_dim(spark):
+    df = _pq_fixture(spark, dim=6)
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_train(df, m=4, n_codes=4, n_iters=1)
+
+
+def test_pq_encode_exact_on_centroid_grid(spark):
+    # hand-built codebooks: 2 subspaces of width 1, codes {0.0, 10.0};
+    # vectors sitting exactly on grid points encode to the exact codes
+    cbs = [(0, [(0, [0.0]), (1, [10.0])]),
+           (1, [(0, [0.0]), (1, [10.0])])]
+    df = spark.createDataFrame(
+        [(1, [0.0, 10.0]), (2, [10.0, 0.0]), (3, [10.0, 10.0]),
+         (4, [4.9, 5.1])],  # nearer 0 in sub 0, nearer 10 in sub 1
+        ["vec_id", "embedding"])
+    got = {r["vec_id"]: r["pq_code"] for r in
+           similarity.pq_encode(df, cbs).collect()}
+    assert got == {1: [0, 1], 2: [1, 0], 3: [1, 1], 4: [0, 1]}
+
+
+def test_pq_topk_matches_exhaustive_adc(spark):
+    df = _pq_fixture(spark, n=32)
+    cbs = similarity.pq_train(df, m=4, n_codes=8, n_iters=2)
+    codes_df = similarity.pq_encode(df, cbs)
+    queries = df.where(F.col("vec_id") < 3)
+    got = similarity.pq_topk(queries, codes_df, cbs, k=5)
+    got_rows = sorted((r["query_id"], r["rank"], r["neighbor_id"],
+                       r["adist"]) for r in got.collect())
+
+    # exhaustive python ADC oracle with the same rounding/tie rules
+    import numpy as np
+    cb = np.stack([np.asarray([v for _, v in book]) for _, book in cbs])
+    m, k_codes, sub = cb.shape
+    data = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in df.collect()}
+    codes = {r["vec_id"]: r["pq_code"] for r in codes_df.collect()}
+    want = []
+    for q in range(3):
+        lut = np.stack([
+            np.round(((data[q][s * sub:(s + 1) * sub] - cb[s]) ** 2
+                      ).sum(axis=1), 9) for s in range(m)])
+        scored = sorted(
+            (round(float(sum(lut[s][codes[v][s]] for s in range(m))), 9),
+             v) for v in data)
+        for rank, (d, v) in enumerate(scored[:5], start=1):
+            want.append((q, rank, v, d))
+    assert got_rows == sorted(want)
+
+
+def test_pq_topk_recall_on_clustered_data(spark):
+    # on well-separated clusters, PQ@k must retrieve same-cluster
+    # members: the nearest neighbors of query i are the vecs with
+    # matching i % 4
+    df = _pq_fixture(spark, n=64)
+    cbs = similarity.pq_train(df, m=4, n_codes=8, n_iters=3)
+    codes_df = similarity.pq_encode(df, cbs)
+    queries = df.where(F.col("vec_id").isin([0, 1, 2, 3]))
+    got = similarity.pq_topk(queries, codes_df, cbs, k=8).collect()
+    for r in got:
+        assert r["neighbor_id"] % 4 == r["query_id"] % 4, r
