@@ -686,3 +686,113 @@ def pq_topk(queries: DataFrame, corpus_codes: DataFrame,
     return (cand.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k)
                 .select("query_id", "neighbor_id", "adist", "rank"))
+
+
+def ivfpq_index(corpus: DataFrame, *, coarse_codebook: list,
+                pq_codebooks: list, id_col: str = "vec_id",
+                emb_col: str = "embedding") -> DataFrame:
+    """Build the IVF-PQ index frame (Jégou et al.'s IVFADC layout):
+    ``(id, cell, pq_code)`` — one coarse cell per vector (nearest
+    centroid by the engine's rounded-cosine fold, ties → lowest id,
+    identical to ``ivf_topk``'s assignment) plus the m-code PQ
+    representation. Both assignments are zero-shuffle Arrow UDF maps;
+    at production scale this frame is written once as a table
+    PARTITIONED BY cell (probes become partition-pruned scans) and the
+    raw embedding column is never read again by search."""
+    cents = sorted(coarse_codebook, key=lambda c: c[0])
+    cell = F.element_at(_nearest_cells_udf(cents, 1)(F.col(emb_col)), 1)
+    return (pq_encode(corpus.select(id_col, emb_col), pq_codebooks,
+                      emb_col=emb_col)
+            .select(F.col(id_col), cell.alias("cell"), "pq_code"))
+
+
+def ivfpq_topk(queries: DataFrame, index: DataFrame, *,
+               coarse_codebook: list, pq_codebooks: list,
+               id_col: str = "vec_id", emb_col: str = "embedding",
+               k: int = 3, nprobe: int = 2) -> DataFrame:
+    """IVF-PQ (IVFADC) approximate top-k: each query probes its
+    ``nprobe`` nearest coarse cells and ADC-scans ONLY those cells'
+    PQ codes — candidate volume ~``nprobe/n_centroids`` of the corpus,
+    each candidate costing m table lookups. The composition of
+    ``ivf_topk``'s cell pruning with ``pq_topk``'s compressed-domain
+    scoring, and the standard shape for 10^9+-vector search.
+
+    Scale shape: the probed-cell set (≤ queries × nprobe ids) prunes
+    the index scan (partition pruning when the index table is
+    partitioned by cell); the scan emits only per-partition running
+    top-k candidates per query; one tiny window pass finishes. Codes
+    are encoded against the RAW vectors (the residual-encoding
+    refinement is noted, not implemented — it changes only what
+    ``pq_codebooks`` is trained on). Ties break (adist asc, id asc)
+    everywhere."""
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    cents = sorted(coarse_codebook, key=lambda c: c[0])
+    cent_ids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    cent_m = np.asarray([v for _, v in cents], dtype=np.float64)
+    cbs = np.stack([np.asarray([v for _, v in book], dtype=np.float64)
+                    for _, book in sorted(pq_codebooks)])
+    m, n_codes, sub = cbs.shape
+    q_rows = queries.select(id_col, emb_col).collect()
+    q_ids = np.asarray([r[id_col] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[emb_col], dtype=np.float64)
+                  for r in q_rows])
+    # query→probe cells with the exact UDF/literal scoring (rounded
+    # cosine desc, centroid id asc) so probes match index assignment
+    cos = _fold_cosines(list(Q), cent_m)
+    order = np.lexsort((np.broadcast_to(cent_ids, cos.shape), -cos),
+                       axis=1)[:, :nprobe]
+    probe = cent_ids[order]                       # (n_queries, nprobe)
+    probe_sets = [set(p.tolist()) for p in probe]
+    all_cells = sorted({c for p in probe_sets for c in p})
+    lut = np.empty((len(q_ids), m, n_codes))
+    for s in range(m):
+        Xq = Q[:, s * sub:(s + 1) * sub]
+        lut[:, s, :] = np.round(
+            ((Xq[:, None, :] - cbs[s][None, :, :]) ** 2).sum(axis=2), 9)
+
+    out_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("adist", DoubleType()),
+    ])
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best_ids = [np.empty(0, dtype=np.int64) for _ in q_ids]
+        best_d = [np.empty(0) for _ in q_ids]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack([np.asarray(c, dtype=np.int64)
+                              for c in pdf["pq_code"]])
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            D = np.zeros((len(q_ids), len(ids)))
+            for s in range(m):
+                D += lut[:, s, codes[:, s]]
+            D = np.round(D, 9)
+            for qi in range(len(q_ids)):
+                msk = np.isin(cells, list(probe_sets[qi]))
+                if not msk.any():
+                    continue
+                cid = np.concatenate([best_ids[qi], ids[msk]])
+                cd = np.concatenate([best_d[qi], D[qi][msk]])
+                o = np.lexsort((cid, cd))[:k]
+                best_ids[qi], best_d[qi] = cid[o], cd[o]
+        if not any(len(b) for b in best_ids):
+            return
+        rows = {"query_id": [], "neighbor_id": [], "adist": []}
+        for qi in range(len(q_ids)):
+            rows["query_id"].extend([q_ids[qi]] * len(best_ids[qi]))
+            rows["neighbor_id"].extend(best_ids[qi].tolist())
+            rows["adist"].extend(best_d[qi].tolist())
+        yield pd.DataFrame(rows)
+
+    cand = (index.where(F.col("cell").isin([int(c) for c in all_cells]))
+                 .select(id_col, "cell", "pq_code")
+                 .mapInPandas(scan, out_schema))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "adist", "rank"))

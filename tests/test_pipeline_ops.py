@@ -874,3 +874,38 @@ def test_pq_topk_recall_on_clustered_data(spark):
     got = similarity.pq_topk(queries, codes_df, cbs, k=8).collect()
     for r in got:
         assert r["neighbor_id"] % 4 == r["query_id"] % 4, r
+
+
+def test_ivfpq_index_and_full_probe_matches_pq(spark):
+    # with nprobe = n_centroids (probe everything), IVF-PQ must equal
+    # plain PQ top-k: the cell filter admits the whole corpus
+    df = _pq_fixture(spark, n=32)
+    coarse = similarity.kmeans_codebook(df, n_centroids=4, n_iters=2)
+    pq = similarity.pq_train(df, m=4, n_codes=8, n_iters=2)
+    index = similarity.ivfpq_index(df, coarse_codebook=coarse,
+                                   pq_codebooks=pq)
+    assert set(index.columns) == {"vec_id", "cell", "pq_code"}
+    queries = df.where(F.col("vec_id") < 3)
+    full = similarity.ivfpq_topk(queries, index, coarse_codebook=coarse,
+                                 pq_codebooks=pq, k=5, nprobe=4)
+    plain = similarity.pq_topk(queries,
+                               similarity.pq_encode(df, pq), pq, k=5)
+    assert sorted(map(tuple, full.collect())) == \
+        sorted(map(tuple, plain.collect()))
+
+
+def test_ivfpq_single_probe_stays_in_cluster(spark):
+    # well-separated clusters: nprobe=1 finds same-cluster neighbors
+    # and the probed-cell filter excludes other clusters' members
+    df = _pq_fixture(spark, n=64)
+    coarse = similarity.kmeans_codebook(df, n_centroids=4, n_iters=3)
+    pq = similarity.pq_train(df, m=4, n_codes=8, n_iters=2)
+    index = similarity.ivfpq_index(df, coarse_codebook=coarse,
+                                   pq_codebooks=pq)
+    queries = df.where(F.col("vec_id").isin([0, 1]))
+    got = similarity.ivfpq_topk(queries, index, coarse_codebook=coarse,
+                                pq_codebooks=pq, k=8, nprobe=1).collect()
+    cells = {r["vec_id"]: r["cell"] for r in index.collect()}
+    for r in got:
+        assert cells[r["neighbor_id"]] == cells[r["query_id"]], r
+        assert r["neighbor_id"] % 4 == r["query_id"] % 4, r
