@@ -441,3 +441,99 @@ def fingerprints(df: DataFrame, text_col: str = "text",
          .alias("prefix_md5"),
         F.size(F.array_distinct(shingles_col(toks))).alias("n_shingles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram language-model quality scoring (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+
+def ngram_lm_train(df: DataFrame, text_col: str = "text", *,
+                   max_vocab: int = 50_000,
+                   min_count: int = 2) -> dict:
+    """Train a bigram language model over the corpus: unigram and
+    bigram counts restricted to the top-``max_vocab`` unigrams (by
+    count, token-asc tiebreak) with ``min_count`` pruning. Returns a
+    plain dict model (``{"total", "uni": {tok: n}, "bi": {(a,b): n}}``)
+    sized ≤ vocab + surviving bigrams — broadcast-safe by construction,
+    the same bound contract as ``encode_documents``'s vocab.
+
+    This is the quality-filter LM of CCNet/KenLM pipelines in its
+    simplest deterministic form: corpus-derived counts, no RNG, no
+    external model file. Scale shape: one explode + two
+    map-side-combined groupBys (shuffle = distinct unigrams + distinct
+    kept bigrams, never token occurrences unreduced); only the pruned
+    model is collected."""
+    toks = tokens_col(text_col)
+    uni = (df.select(F.explode(toks).alias("tok"))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    kept = (uni.orderBy(F.desc("n"), F.asc("tok")).limit(max_vocab)
+               .where(F.col("n") >= min_count))
+    vocab = {r["tok"]: r["n"] for r in kept.collect()}
+    total = int(df.select(
+        F.sum(F.size(toks)).alias("t")).collect()[0]["t"] or 0)
+    # bigrams over adjacent tokens, kept only when BOTH sides are in
+    # the pruned vocab (the standard open-vocab backoff restriction)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws("\x1f", a, b))
+    bi = (df.select(F.explode(pairs).alias("p"))
+            .groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= min_count))
+    bigrams = {}
+    for r in bi.collect():
+        a, _, b = r["p"].partition("\x1f")
+        if a in vocab and b in vocab:
+            bigrams[(a, b)] = r["n"]
+    return {"total": total, "uni": vocab, "bi": bigrams}
+
+
+def ngram_lm_score(df: DataFrame, model: dict,
+                   text_col: str = "text",
+                   id_col: str = "doc_id", *,
+                   alpha: float = 0.1) -> DataFrame:
+    """Per-document LM quality score: mean log2 probability per token
+    under the bigram model with add-``alpha`` smoothed backoff
+    (``P(b|a) = (bi[a,b] + alpha) / (uni[a] + alpha·V)`` when ``a`` is
+    in vocab, else the smoothed unigram ``(uni[b] + alpha) /
+    (total + alpha·V)``), plus ``ppl = 2^(-mean)`` and the OOV rate.
+    Lower perplexity = more natural under the corpus LM; the CCNet
+    head/middle/tail split is a quantile cut over ``ppl`` downstream.
+
+    Zero shuffle: the pruned model rides inside an Arrow-batched
+    pandas UDF closure — scoring is a pure map over the corpus, the
+    exact pattern (and size bound) of ``encode_documents``."""
+    import math
+
+    import pandas as pd
+
+    uni, bi, total = model["uni"], model["bi"], model["total"]
+    V = max(len(uni), 1)
+
+    @F.pandas_udf("struct<logprob:double, ppl:double, oov_rate:double>")
+    def score(texts: pd.Series) -> pd.DataFrame:
+        lp_out, ppl_out, oov_out = [], [], []
+        for t in texts:
+            toks = (t or "").split(" ")
+            n_oov = sum(1 for w in toks if w not in uni)
+            lps = []
+            for i, w in enumerate(toks):
+                prev = toks[i - 1] if i else None
+                if prev is not None and prev in uni:
+                    p = ((bi.get((prev, w), 0) + alpha)
+                         / (uni[prev] + alpha * V))
+                else:
+                    p = (uni.get(w, 0) + alpha) / (total + alpha * V)
+                lps.append(math.log2(p))
+            mean_lp = sum(lps) / len(lps) if lps else 0.0
+            lp_out.append(round(mean_lp, 6))
+            ppl_out.append(round(2 ** (-mean_lp), 6))
+            oov_out.append(round(n_oov / len(toks), 6) if toks else 0.0)
+        return pd.DataFrame({"logprob": lp_out, "ppl": ppl_out,
+                             "oov_rate": oov_out})
+
+    s = score(F.col(text_col))
+    return df.select(F.col(id_col),
+                     s.getField("logprob").alias("lm_logprob"),
+                     s.getField("ppl").alias("lm_ppl"),
+                     s.getField("oov_rate").alias("oov_rate"))

