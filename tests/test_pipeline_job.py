@@ -150,3 +150,26 @@ def test_pipeline_job_span_dedup_stage(spark, tmp_path, monkeypatch):
         F.col("text").contains(boiler)).count()
     assert n_with_boiler <= 1
     assert final.count() == stats["written"]
+
+
+def test_pipeline_job_lm_cut_stage(spark, tmp_path, monkeypatch):
+    """--lm-keep Q trains a corpus LM and drops the worst-perplexity
+    tail; the funnel shrinks and the cut value lands in stats."""
+    sys.path.insert(0, "/root/repo/tools")
+    import pipeline_job
+
+    out = str(tmp_path / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "pipeline_job.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out, "--vocab-size", "16", "--partitions", "4",
+        "--lm-keep", "0.8", "--no-redact",
+    ])
+    pipeline_job.main()
+    with open(out + "_stats.json", encoding="utf-8") as fh:
+        stats = json.load(fh)
+    assert stats["lm_ppl_cut"] > 0
+    assert stats["after_lm_cut"] <= stats["after_near_dedup"]
+    # the cut is a real cut on this corpus (ppl spread exists)
+    assert stats["after_lm_cut"] < stats["after_near_dedup"] * 0.95
+    assert stats["written"] == stats["after_lm_cut"]

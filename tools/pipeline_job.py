@@ -57,6 +57,11 @@ def main() -> None:
                     help="if N > 0, remove duplicated N-token spans "
                          "(keep one canonical copy) after whole-doc "
                          "dedup — dedup.remove_duplicate_spans")
+    ap.add_argument("--lm-keep", type=float, default=0.0, metavar="Q",
+                    help="if 0 < Q < 1, train a corpus bigram LM and "
+                         "keep only docs whose perplexity is within "
+                         "the Q quantile (CCNet-style head cut) — "
+                         "textops.ngram_lm_train/ngram_lm_score")
     ap.add_argument("--order", default="range",
                     help="'range' (default: doc_id-sorted, zone-map-"
                          "prunable) or 'epoch:N' (deterministic "
@@ -135,6 +140,18 @@ def main() -> None:
             .select("doc_id")
         docs = docs.join(contaminated, "doc_id", "left_anti")
         stats["after_decontaminate"] = docs.count()
+
+    # 5.5 LM perplexity cut (CCNet head): train on the deduped corpus
+    # itself, score zero-shuffle, keep the most-natural Q quantile
+    if 0.0 < args.lm_keep < 1.0:
+        model = textops.ngram_lm_train(docs)
+        scored = textops.ngram_lm_score(docs, model)
+        cut = scored.agg(F.expr(
+            f"percentile_approx(lm_ppl, {args.lm_keep})")).collect()[0][0]
+        docs = docs.join(scored.where(F.col("lm_ppl") <= cut)
+                               .select("doc_id"), "doc_id")
+        stats["lm_ppl_cut"] = float(cut)
+        stats["after_lm_cut"] = docs.count()
 
     # 6. PII redaction — after dedup (identical spans stay visible to
     # the dedup keys), before anything leaves the pipeline
