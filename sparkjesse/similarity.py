@@ -796,3 +796,149 @@ def ivfpq_topk(queries: DataFrame, index: DataFrame, *,
     return (cand.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k)
                 .select("query_id", "neighbor_id", "adist", "rank"))
+
+
+def coarse_residuals(corpus: DataFrame, coarse_codebook: list, *,
+                     id_col: str = "vec_id",
+                     emb_col: str = "embedding") -> DataFrame:
+    """Attach each vector's coarse cell and its residual
+    ``emb - centroid[cell]`` — the training/encoding input for
+    residual IVF-PQ (the exact IVFADC formulation: PQ quantizes what
+    the coarse quantizer leaves over, which concentrates variance and
+    roughly halves ADC error vs raw-vector codes). One zero-shuffle
+    Arrow UDF; cell assignment is the same rounded-cosine rule as
+    ``ivf_topk``/``ivfpq_index``."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    cents = sorted(coarse_codebook, key=lambda c: c[0])
+    cent_ids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    cent_m = np.asarray([v for _, v in cents], dtype=np.float64)
+    pos = {int(c): i for i, c in enumerate(cent_ids)}
+
+    @F.pandas_udf(StructType([
+        StructField("cell", IntegerType()),
+        StructField("residual", ArrayType(DoubleType()))]))
+    def assign(emb: pd.Series) -> pd.DataFrame:
+        cos = _fold_cosines(list(emb), cent_m)
+        order = np.lexsort(
+            (np.broadcast_to(cent_ids, cos.shape), -cos), axis=1)[:, 0]
+        cells = cent_ids[order]
+        res = [np.asarray(e, dtype=np.float64)
+               - cent_m[pos[int(c)]] for e, c in zip(emb, cells)]
+        return pd.DataFrame({"cell": cells.astype(np.int32),
+                             "residual": [r.tolist() for r in res]})
+
+    s = assign(F.col(emb_col))
+    return corpus.select(F.col(id_col),
+                         s.getField("cell").alias("cell"),
+                         s.getField("residual").alias("residual"))
+
+
+def ivfpq_index_residual(corpus: DataFrame, *, coarse_codebook: list,
+                         id_col: str = "vec_id",
+                         emb_col: str = "embedding", m: int = 4,
+                         n_codes: int = 16,
+                         pq_iters: int = 3) -> tuple:
+    """Residual IVF-PQ index build: compute coarse residuals, train the
+    PQ codebooks ON the residuals, and encode them. Returns
+    ``(index_df, pq_codebooks)`` where ``index_df`` is
+    ``(id, cell, pq_code)`` — search with
+    ``ivfpq_topk_residual``. Two corpus passes beyond training
+    (residual map, encode map), both zero-shuffle."""
+    res = coarse_residuals(corpus, coarse_codebook,
+                           id_col=id_col, emb_col=emb_col)
+    pq = pq_train(res, id_col=id_col, emb_col="residual",
+                  m=m, n_codes=n_codes, n_iters=pq_iters)
+    idx = (pq_encode(res, pq, emb_col="residual")
+           .select(F.col(id_col), "cell", "pq_code"))
+    return idx, pq
+
+
+def ivfpq_topk_residual(queries: DataFrame, index: DataFrame, *,
+                        coarse_codebook: list, pq_codebooks: list,
+                        id_col: str = "vec_id",
+                        emb_col: str = "embedding",
+                        k: int = 3, nprobe: int = 2) -> DataFrame:
+    """Residual-mode IVFADC search: for each (query, probed cell) pair
+    the lookup table is built over the query's RESIDUAL w.r.t. that
+    cell's centroid (``LUT[q,cell][s,c] = ||(q - centroid[cell])_s -
+    code_c||²``), matching how the corpus codes were trained. Same
+    scale shape as ``ivfpq_topk``: ≤ queries × nprobe tiny LUTs ship
+    in the scan closure, the index scan is cell-pruned and emits only
+    per-partition running top-k candidates."""
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    cents = sorted(coarse_codebook, key=lambda c: c[0])
+    cent_ids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    cent_m = np.asarray([v for _, v in cents], dtype=np.float64)
+    pos = {int(c): i for i, c in enumerate(cent_ids)}
+    cbs = np.stack([np.asarray([v for _, v in book], dtype=np.float64)
+                    for _, book in sorted(pq_codebooks)])
+    m, n_codes, sub = cbs.shape
+    q_rows = queries.select(id_col, emb_col).collect()
+    q_ids = np.asarray([r[id_col] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[emb_col], dtype=np.float64)
+                  for r in q_rows])
+    cos = _fold_cosines(list(Q), cent_m)
+    order = np.lexsort((np.broadcast_to(cent_ids, cos.shape), -cos),
+                       axis=1)[:, :nprobe]
+    probe = cent_ids[order]
+    lut_qc = {}
+    for qi in range(len(q_ids)):
+        for c in probe[qi]:
+            r = Q[qi] - cent_m[pos[int(c)]]
+            t = np.empty((m, n_codes))
+            for s in range(m):
+                t[s] = np.round(
+                    ((r[s * sub:(s + 1) * sub] - cbs[s]) ** 2).sum(axis=1),
+                    9)
+            lut_qc[(qi, int(c))] = t
+
+    out_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("adist", DoubleType()),
+    ])
+    all_cells = sorted({c for (_, c) in lut_qc})
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best_ids = [np.empty(0, dtype=np.int64) for _ in q_ids]
+        best_d = [np.empty(0) for _ in q_ids]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack([np.asarray(c, dtype=np.int64)
+                              for c in pdf["pq_code"]])
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            for qi in range(len(q_ids)):
+                for c in probe[qi]:
+                    msk = cells == c
+                    if not msk.any():
+                        continue
+                    t = lut_qc[(qi, int(c))]
+                    sel = codes[msk]
+                    d = np.zeros(msk.sum())
+                    for s in range(m):
+                        d += t[s, sel[:, s]]
+                    d = np.round(d, 9)
+                    cid = np.concatenate([best_ids[qi], ids[msk]])
+                    cd = np.concatenate([best_d[qi], d])
+                    o = np.lexsort((cid, cd))[:k]
+                    best_ids[qi], best_d[qi] = cid[o], cd[o]
+        if not any(len(b) for b in best_ids):
+            return
+        rows = {"query_id": [], "neighbor_id": [], "adist": []}
+        for qi in range(len(q_ids)):
+            rows["query_id"].extend([q_ids[qi]] * len(best_ids[qi]))
+            rows["neighbor_id"].extend(best_ids[qi].tolist())
+            rows["adist"].extend(best_d[qi].tolist())
+        yield pd.DataFrame(rows)
+
+    cand = (index.where(F.col("cell").isin([int(c) for c in all_cells]))
+                 .select(id_col, "cell", "pq_code")
+                 .mapInPandas(scan, out_schema))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "adist", "rank"))

@@ -998,3 +998,44 @@ def test_ngram_lm_score_matches_hand_computation(spark):
     mean = sum(math.log2(p) for p in (p1, p2, p3, p4)) / 4
     assert got["lm_logprob"] == pytest.approx(round(mean, 6), abs=1e-6)
     assert got["lm_ppl"] == pytest.approx(round(2 ** (-mean), 6), abs=1e-5)
+
+
+def test_ivfpq_residual_index_and_recall(spark):
+    # residual IVFADC on clustered data: same-cluster retrieval holds,
+    # and the index/codebook pair round-trips through search
+    df = _pq_fixture(spark, n=64)
+    coarse = similarity.kmeans_codebook(df, n_centroids=4, n_iters=3)
+    index, pq = similarity.ivfpq_index_residual(
+        df, coarse_codebook=coarse, m=4, n_codes=8, pq_iters=2)
+    assert set(index.columns) == {"vec_id", "cell", "pq_code"}
+    queries = df.where(F.col("vec_id").isin([0, 1, 2, 3]))
+    got = similarity.ivfpq_topk_residual(
+        queries, index, coarse_codebook=coarse, pq_codebooks=pq,
+        k=8, nprobe=1).collect()
+    assert got  # non-empty
+    for r in got:
+        assert r["neighbor_id"] % 4 == r["query_id"] % 4, r
+
+
+def test_ivfpq_residual_tightens_adist_vs_raw(spark):
+    # the point of residual coding: ADC distances to a vector's own
+    # code shrink when PQ quantizes residuals instead of raw vectors
+    df = _pq_fixture(spark, n=64)
+    coarse = similarity.kmeans_codebook(df, n_centroids=4, n_iters=3)
+    queries = df.where(F.col("vec_id").isin([0, 1, 2, 3]))
+
+    raw_pq = similarity.pq_train(df, m=4, n_codes=8, n_iters=2)
+    raw_idx = similarity.ivfpq_index(df, coarse_codebook=coarse,
+                                     pq_codebooks=raw_pq)
+    raw = {r["query_id"]: r["adist"] for r in similarity.ivfpq_topk(
+        queries, raw_idx, coarse_codebook=coarse, pq_codebooks=raw_pq,
+        k=1, nprobe=1).collect()}
+
+    res_idx, res_pq = similarity.ivfpq_index_residual(
+        df, coarse_codebook=coarse, m=4, n_codes=8, pq_iters=2)
+    res = {r["query_id"]: r["adist"] for r in
+           similarity.ivfpq_topk_residual(
+               queries, res_idx, coarse_codebook=coarse,
+               pq_codebooks=res_pq, k=1, nprobe=1).collect()}
+    # self-distance under residual codes must not be worse on average
+    assert sum(res.values()) <= sum(raw.values()) + 1e-9, (raw, res)
