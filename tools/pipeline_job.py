@@ -14,8 +14,14 @@ The standard LLM data-prep chain, every stage a sparkjesse operator:
   3. exact dedup on content fingerprint (first arrival by doc_id wins);
   4. SimHash near-dup removal (``dedup.simhash_near_pairs`` pigeonhole
      banding + ``duplicate_clusters`` canonical-keep);
+  4.5. (opt-in, ``--span-dedup N``) substring-level dedup
+     (``dedup.remove_duplicate_spans``) — repeated N-token spans are
+     removed keeping one canonical copy, then lineage is checkpointed;
   5. benchmark decontamination (``dedup.decontaminate_report``,
      broadcast n-gram overlap) when ``--benchmark`` is given;
+  5.5. (opt-in, ``--lm-keep Q``) CCNet-style perplexity head cut
+     (``textops.ngram_lm_train``/``ngram_lm_score``) — keep the
+     most-natural Q quantile under a corpus-trained bigram LM;
   6. PII redaction (``scrub.redact_pii``) with an aggregate redaction
      count in the stats ledger — after dedup (identical PII spans must
      not be hidden from the dedup keys), before anything is written;
