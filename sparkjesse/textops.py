@@ -21,6 +21,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
 
 # fixed marker vocabularies for the n-gram/stopword language heuristic;
 # deliberately tiny — the heuristic's job is deterministic scoring, the
@@ -537,3 +538,114 @@ def ngram_lm_score(df: DataFrame, model: dict,
                      s.getField("logprob").alias("lm_logprob"),
                      s.getField("ppl").alias("lm_ppl"),
                      s.getField("oov_rate").alias("oov_rate"))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training + encoding
+# ---------------------------------------------------------------------------
+
+def bpe_train(df: DataFrame, text_col: str = "text", *,
+              n_merges: int = 200, min_count: int = 2,
+              max_word_types: int = 1_000_000) -> dict:
+    """Train a byte-pair-encoding tokenizer (Sennrich et al. 2016) the
+    scalable way: ONE distributed pass reduces the corpus to a word-
+    frequency table (shuffle = distinct word types, map-side combined,
+    pruned to the top ``max_word_types`` by count then word-asc), and
+    the merge loop runs over that bounded table — the standard
+    approach (BPE statistics depend only on word types × counts, so
+    merging over the type table is EXACT, not an approximation, while
+    touching ~10^6 rows instead of 10^12 documents).
+
+    Words are split into characters with a ``</w>`` end-of-word marker;
+    each merge joins the most frequent adjacent symbol pair
+    (count desc, pair lexicographic asc as the deterministic tiebreak).
+    Returns ``{"merges": [(a, b), ...], "vocab": {symbol: id}}`` with
+    ids assigned in (merge order after the sorted character alphabet)
+    — fully deterministic for a fixed corpus."""
+    toks = tokens_col(text_col)
+    wc = (df.select(F.explode(toks).alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= min_count)
+            .orderBy(F.desc("n"), F.asc("w")).limit(max_word_types)
+            .collect())
+    words = {tuple(r["w"]) + ("</w>",): r["n"] for r in wc}
+
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict = {}
+        for sym, n in words.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        joined = best[0] + best[1]
+        new_words = {}
+        for sym, n in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if (i < len(sym) - 1 and sym[i] == best[0]
+                        and sym[i + 1] == best[1]):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + n
+        words = new_words
+
+    # base alphabet first (chars incl. </w>), then merge products in
+    # merge order — the conventional id layout
+    chars = sorted({c for r in wc for c in r["w"]} | {"</w>"})
+    vocab = {c: i for i, c in enumerate(chars)}
+    for a, b in merges:
+        s = a + b
+        if s not in vocab:
+            vocab[s] = len(vocab)
+    return {"merges": merges, "vocab": vocab}
+
+
+def bpe_encode(df: DataFrame, model: dict, text_col: str = "text",
+               id_col: str = "doc_id", *,
+               out_col: str = "bpe_ids") -> DataFrame:
+    """Encode documents with a trained BPE model: per word, greedy
+    application of the merge list in training order (the exact
+    Sennrich inference rule), then vocab-id lookup (-1 for symbols
+    outside the vocab — unseen characters). Zero shuffle: the merge
+    ranks and vocab ride in an Arrow-batched pandas UDF closure,
+    bounded by construction (≤ alphabet + n_merges entries) — the same
+    contract as ``encode_documents``."""
+    import pandas as pd
+
+    ranks = {p: i for i, p in enumerate(model["merges"])}
+    vocab = model["vocab"]
+
+    def _word(sym):
+        sym = list(sym) + ["</w>"]
+        while len(sym) > 1:
+            cand = [(ranks[(a, b)], i) for i, (a, b) in
+                    enumerate(zip(sym, sym[1:])) if (a, b) in ranks]
+            if not cand:
+                break
+            _, i = min(cand)
+            sym[i:i + 2] = [sym[i] + sym[i + 1]]
+        return sym
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(texts: pd.Series) -> pd.Series:
+        out = []
+        cache: dict = {}
+        for t in texts:
+            ids = []
+            for w in (t or "").split(" "):
+                if w not in cache:
+                    cache[w] = [vocab.get(s, -1) for s in _word(w)]
+                ids.extend(cache[w])
+            out.append(ids)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), encode(F.col(text_col)).alias(out_col))

@@ -1039,3 +1039,51 @@ def test_ivfpq_residual_tightens_adist_vs_raw(spark):
                pq_codebooks=res_pq, k=1, nprobe=1).collect()}
     # self-distance under residual codes must not be worse on average
     assert sum(res.values()) <= sum(raw.values()) + 1e-9, (raw, res)
+
+
+# -- BPE tokenizer -------------------------------------------------------------
+
+def test_bpe_train_classic_example(spark):
+    # the canonical Sennrich example: corpus of aaab-type words; the
+    # most frequent adjacent pair merges first and deterministically
+    rows = [(i, "aaab aaab aaab ab") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    m = textops.bpe_train(df, n_merges=3, min_count=1)
+    # hand-derived: (a,a)=18 merges first (left-greedy: aaab -> aa,a,b);
+    # then (a,b)=12 beats (b,</w>)=12 on the lexicographic tiebreak;
+    # then (ab,</w>)=12
+    assert m["merges"] == [("a", "a"), ("a", "b"), ("ab", "</w>")]
+    # vocab: chars first (sorted), merge products after, contiguous ids
+    assert m["vocab"]["</w>"] == 0 and m["vocab"]["a"] == 1
+    assert sorted(m["vocab"].values()) == list(range(len(m["vocab"])))
+
+
+def test_bpe_train_deterministic_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "xy xy uv uv")], ["doc_id", "text"])
+    m1 = textops.bpe_train(df, n_merges=2, min_count=1)
+    m2 = textops.bpe_train(df, n_merges=2, min_count=1)
+    assert m1 == m2
+    # both ('u','v') and ('x','y') have count 2; lexicographic
+    # tiebreak picks ('u','v') first
+    assert m1["merges"][0] == ("u", "v")
+
+
+def test_bpe_encode_greedy_and_oov(spark):
+    train = spark.createDataFrame(
+        [(i, "hello hello hello world world") for i in range(4)],
+        ["doc_id", "text"])
+    m = textops.bpe_train(train, n_merges=50, min_count=1)
+    probe = spark.createDataFrame(
+        [(1, "hello world"), (2, "zzz")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["bpe_ids"] for r in
+           textops.bpe_encode(probe, m).collect()}
+    inv = {v: k for k, v in m["vocab"].items()}
+    # trained words collapse to few symbols whose concatenation
+    # round-trips the word (+ the end marker)
+    hello = "".join(inv[i] for i in got[1])
+    assert hello == "hello</w>world</w>"
+    assert len(got[1]) <= 4  # heavily merged after 50 merges
+    # unseen characters -> -1, never a crash
+    assert all(i == -1 or inv[i] in ("z", "</w>", "zzz</w>")
+               for i in got[2])
