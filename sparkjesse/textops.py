@@ -609,8 +609,7 @@ def bpe_train(df: DataFrame, text_col: str = "text", *,
     return {"merges": merges, "vocab": vocab}
 
 
-def bpe_encode(df: DataFrame, model: dict, text_col: str = "text",
-               id_col: str = "doc_id", *,
+def bpe_encode(df: DataFrame, model: dict, text_col: str = "text", *,
                out_col: str = "bpe_ids") -> DataFrame:
     """Encode documents with a trained BPE model: per word, greedy
     application of the merge list in training order (the exact
@@ -618,7 +617,9 @@ def bpe_encode(df: DataFrame, model: dict, text_col: str = "text",
     outside the vocab — unseen characters). Zero shuffle: the merge
     ranks and vocab ride in an Arrow-batched pandas UDF closure,
     bounded by construction (≤ alphabet + n_merges entries) — the same
-    contract as ``encode_documents``."""
+    contract as ``encode_documents``. Column-preserving: ``out_col``
+    is attached with ``withColumn`` (no projection, no join needed to
+    keep it alongside the document)."""
     import pandas as pd
 
     ranks = {p: i for i, p in enumerate(model["merges"])}
@@ -648,4 +649,4 @@ def bpe_encode(df: DataFrame, model: dict, text_col: str = "text",
             out.append(ids)
         return pd.Series(out)
 
-    return df.select(F.col(id_col), encode(F.col(text_col)).alias(out_col))
+    return df.withColumn(out_col, encode(F.col(text_col)))

@@ -173,3 +173,27 @@ def test_pipeline_job_lm_cut_stage(spark, tmp_path, monkeypatch):
     # the cut is a real cut on this corpus (ppl spread exists)
     assert stats["after_lm_cut"] < stats["after_near_dedup"] * 0.95
     assert stats["written"] == stats["after_lm_cut"]
+
+
+def test_pipeline_job_bpe_stage(spark, tmp_path, monkeypatch):
+    """--bpe N trains the tokenizer on the pipeline output corpus,
+    attaches bpe_ids alongside the vocab ids, and persists merges."""
+    sys.path.insert(0, "/root/repo/tools")
+    import pipeline_job
+
+    out = str(tmp_path / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "pipeline_job.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out, "--vocab-size", "16", "--partitions", "4",
+        "--bpe", "50", "--no-redact",
+    ])
+    pipeline_job.main()
+    with open(out + "_stats.json", encoding="utf-8") as fh:
+        stats = json.load(fh)
+    assert 0 < stats["bpe_merges"] <= 50
+    final = spark.read.parquet(out + "/docs")
+    assert "bpe_ids" in final.columns and "ids" in final.columns
+    assert final.where(F.size("bpe_ids") > 0).count() == stats["written"]
+    merges = spark.read.parquet(out + "/bpe_merges")
+    assert merges.count() == stats["bpe_merges"]

@@ -63,6 +63,11 @@ def main() -> None:
                     help="if N > 0, remove duplicated N-token spans "
                          "(keep one canonical copy) after whole-doc "
                          "dedup — dedup.remove_duplicate_spans")
+    ap.add_argument("--bpe", type=int, default=0, metavar="N",
+                    help="if N > 0, train an N-merge BPE tokenizer on "
+                         "the final corpus and attach bpe_ids next to "
+                         "the vocab ids; merges written to "
+                         "OUTPUT/bpe_merges")
     ap.add_argument("--lm-keep", type=float, default=0.0, metavar="Q",
                     help="if 0 < Q < 1, train a corpus bigram LM and "
                          "keep only docs whose perplexity is within "
@@ -179,6 +184,18 @@ def main() -> None:
                                 max_size=args.vocab_size)
     vocab.write.mode("overwrite").parquet(f"{args.output}/vocab")
     encoded = textops.encode_documents(docs, vocab)
+
+    # 7.5 (opt-in) BPE tokenizer: train on the final corpus, attach
+    # subword ids column-preserving (zero shuffle), persist the merges
+    if args.bpe > 0:
+        bm = textops.bpe_train(docs, n_merges=args.bpe)
+        spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(bm["merges"])],
+            ["rank", "left", "right"]) \
+            .write.mode("overwrite").parquet(f"{args.output}/bpe_merges")
+        docs = textops.bpe_encode(docs, bm)
+        stats["bpe_merges"] = len(bm["merges"])
+        stats["bpe_vocab"] = len(bm["vocab"])
 
     # 8. final write: analytics order (range-sorted by doc_id, zone-map
     # prunable) or training order (deterministic per-epoch shuffle —
