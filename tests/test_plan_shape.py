@@ -223,3 +223,19 @@ def test_duplicate_spans_single_groupby_no_join(spark):
     first_exchange = plan.index("Exchange")
     assert "partial_count" in plan[first_exchange:], plan[:2000]
     assert plan.index("Generate") > first_exchange, plan[:2000]
+
+
+def test_lm_score_and_bpe_encode_zero_shuffle(spark):
+    """Both model-in-closure encoders are pure Arrow maps: no Exchange
+    anywhere, Arrow (not row-at-a-time) Python eval."""
+    from sparkjesse import textops
+    docs = spark.read.parquet(DOCS)
+    model = {"total": 10, "uni": {"the": 5}, "bi": {("the", "the"): 2}}
+    plan = _plan(textops.ngram_lm_score(docs, model))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "ArrowEvalPython" in plan, plan[:2000]
+    bpe = {"merges": [("t", "h")], "vocab": {"t": 0, "h": 1, "th": 2,
+                                             "</w>": 3}}
+    plan = _plan(textops.bpe_encode(docs, bpe))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "ArrowEvalPython" in plan, plan[:2000]
