@@ -375,10 +375,6 @@ def _txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.language_id(_docs(spark, sf_dir))
 
 
-def _txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.fingerprints(_docs(spark, sf_dir))
-
-
 def _txt_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus heavy hitters per language: top-10 tokens by frequency
     (map-side-combined counts, per-group window rank)."""
