@@ -450,20 +450,28 @@ def fingerprints(df: DataFrame, text_col: str = "text",
 
 def ngram_lm_train(df: DataFrame, text_col: str = "text", *,
                    max_vocab: int = 50_000,
-                   min_count: int = 2) -> dict:
+                   min_count: int = 2,
+                   max_bigrams: int = 2_000_000) -> dict:
     """Train a bigram language model over the corpus: unigram and
     bigram counts restricted to the top-``max_vocab`` unigrams (by
-    count, token-asc tiebreak) with ``min_count`` pruning. Returns a
-    plain dict model (``{"total", "uni": {tok: n}, "bi": {(a,b): n}}``)
-    sized ≤ vocab + surviving bigrams — broadcast-safe by construction,
-    the same bound contract as ``encode_documents``'s vocab.
+    count, token-asc tiebreak) with ``min_count`` pruning, and bigrams
+    further capped to the top-``max_bigrams`` (count desc, pair-asc
+    tiebreak). Returns a plain dict model (``{"total", "uni": {tok: n},
+    "bi": {(a,b): n}}``) sized ≤ ``max_vocab + max_bigrams`` entries —
+    broadcast-safe BY CONSTRUCTION, the same bound contract as
+    ``encode_documents``'s vocab.
 
     This is the quality-filter LM of CCNet/KenLM pipelines in its
     simplest deterministic form: corpus-derived counts, no RNG, no
     external model file. Scale shape: one explode + two
     map-side-combined groupBys (shuffle = distinct unigrams + distinct
-    kept bigrams, never token occurrences unreduced); only the pruned
-    model is collected."""
+    bigrams, never token occurrences unreduced); the in-vocab
+    restriction is two BROADCAST semi-joins against the ≤``max_vocab``
+    kept-unigram set applied IN SPARK, and the top-k cap is a
+    TakeOrdered — nothing unbounded ever reaches the driver (at web
+    scale the distinct-bigram count is O(10^9-10^10); collecting it,
+    as this function did before the cap, is a guaranteed driver OOM)."""
+    spark = df.sparkSession
     toks = tokens_col(text_col)
     uni = (df.select(F.explode(toks).alias("tok"))
              .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
@@ -473,19 +481,27 @@ def ngram_lm_train(df: DataFrame, text_col: str = "text", *,
     total = int(df.select(
         F.sum(F.size(toks)).alias("t")).collect()[0]["t"] or 0)
     # bigrams over adjacent tokens, kept only when BOTH sides are in
-    # the pruned vocab (the standard open-vocab backoff restriction)
-    pairs = F.zip_with(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda a, b: F.concat_ws("\x1f", a, b))
-    bi = (df.select(F.explode(pairs).alias("p"))
-            .groupBy("p").agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") >= min_count))
-    bigrams = {}
-    for r in bi.collect():
-        a, _, b = r["p"].partition("\x1f")
-        if a in vocab and b in vocab:
-            bigrams[(a, b)] = r["n"]
+    # the pruned vocab (the standard open-vocab backoff restriction) —
+    # the vocab is ≤ max_vocab by construction, so it broadcasts; the
+    # semi-joins run map-side BEFORE any driver materialization
+    vdf = spark.createDataFrame([(t,) for t in sorted(vocab)],
+                                "tok string")
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+         .alias("a"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+         .alias("b"))
+    bi = (df.select(F.explode(pairs).alias("pr"))
+            .select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= min_count)
+            .join(F.broadcast(vdf.withColumnRenamed("tok", "a")),
+                  "a", "semi")
+            .join(F.broadcast(vdf.withColumnRenamed("tok", "b")),
+                  "b", "semi")
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(max_bigrams))
+    bigrams = {(r["a"], r["b"]): r["n"] for r in bi.collect()}
     return {"total": total, "uni": vocab, "bi": bigrams}
 
 
@@ -503,7 +519,12 @@ def ngram_lm_score(df: DataFrame, model: dict,
 
     Zero shuffle: the pruned model rides inside an Arrow-batched
     pandas UDF closure — scoring is a pure map over the corpus, the
-    exact pattern (and size bound) of ``encode_documents``."""
+    exact pattern (and size bound) of ``encode_documents``.
+
+    Empty/whitespace-only documents have NO tokens to score: they get
+    NULL logprob/ppl/oov_rate (a sentinel the caller must handle, not
+    an arbitrary smoothed-unigram constant — an empty doc is not
+    "natural", it is unscorable)."""
     import math
 
     import pandas as pd
@@ -515,7 +536,12 @@ def ngram_lm_score(df: DataFrame, model: dict,
     def score(texts: pd.Series) -> pd.DataFrame:
         lp_out, ppl_out, oov_out = [], [], []
         for t in texts:
-            toks = (t or "").split(" ")
+            toks = [w for w in (t or "").split(" ") if w]
+            if not toks:
+                lp_out.append(None)
+                ppl_out.append(None)
+                oov_out.append(None)
+                continue
             n_oov = sum(1 for w in toks if w not in uni)
             lps = []
             for i, w in enumerate(toks):
@@ -526,12 +552,14 @@ def ngram_lm_score(df: DataFrame, model: dict,
                 else:
                     p = (uni.get(w, 0) + alpha) / (total + alpha * V)
                 lps.append(math.log2(p))
-            mean_lp = sum(lps) / len(lps) if lps else 0.0
+            mean_lp = sum(lps) / len(lps)
             lp_out.append(round(mean_lp, 6))
             ppl_out.append(round(2 ** (-mean_lp), 6))
-            oov_out.append(round(n_oov / len(toks), 6) if toks else 0.0)
-        return pd.DataFrame({"logprob": lp_out, "ppl": ppl_out,
-                             "oov_rate": oov_out})
+            oov_out.append(round(n_oov / len(toks), 6))
+        return pd.DataFrame(
+            {"logprob": pd.array(lp_out, dtype="Float64"),
+             "ppl": pd.array(ppl_out, dtype="Float64"),
+             "oov_rate": pd.array(oov_out, dtype="Float64")})
 
     s = score(F.col(text_col))
     return df.select(F.col(id_col),
@@ -561,7 +589,17 @@ def bpe_train(df: DataFrame, text_col: str = "text", *,
     (count desc, pair lexicographic asc as the deterministic tiebreak).
     Returns ``{"merges": [(a, b), ...], "vocab": {symbol: id}}`` with
     ids assigned in (merge order after the sorted character alphabet)
-    — fully deterministic for a fixed corpus."""
+    — fully deterministic for a fixed corpus.
+
+    The merge loop uses INCREMENTAL pair statistics (Sennrich's
+    learn_bpe): a pair→words inverted index finds the words containing
+    the merged pair, only those words are rewritten and only their
+    pair counts adjusted, and the argmax is a lazy-deletion heap —
+    per-merge cost is O(affected words + log #pairs), not O(all word
+    types × word length), so 32k-merge production vocabs are tractable
+    where the naive full-recount loop is driver-infeasible."""
+    import heapq
+
     toks = tokens_col(text_col)
     wc = (df.select(F.explode(toks).alias("w"))
             .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
@@ -570,22 +608,54 @@ def bpe_train(df: DataFrame, text_col: str = "text", *,
             .collect())
     words = {tuple(r["w"]) + ("</w>",): r["n"] for r in wc}
 
+    def word_pairs(sym: tuple) -> dict:
+        # adjacent-pair multiset (overlapping occurrences counted,
+        # matching the classic full-recount statistics)
+        out: dict = {}
+        for i in range(len(sym) - 1):
+            p = (sym[i], sym[i + 1])
+            out[p] = out.get(p, 0) + 1
+        return out
+
+    stats: dict = {}   # pair -> corpus count
+    index: dict = {}   # pair -> set of word tuples containing it
+    for sym, n in words.items():
+        for p, c in word_pairs(sym).items():
+            stats[p] = stats.get(p, 0) + c * n
+            index.setdefault(p, set()).add(sym)
+    heap = [(-c, p) for p, c in stats.items()]
+    heapq.heapify(heap)
+
+    def detach(sym: tuple, n: int) -> None:
+        for p, c in word_pairs(sym).items():
+            stats[p] -= c * n
+            if stats[p] <= 0:
+                del stats[p]
+                index.pop(p, None)
+            else:
+                heapq.heappush(heap, (-stats[p], p))
+                ws = index.get(p)
+                if ws is not None:
+                    ws.discard(sym)
+
+    def attach(sym: tuple, n: int) -> None:
+        for p, c in word_pairs(sym).items():
+            stats[p] = stats.get(p, 0) + c * n
+            index.setdefault(p, set()).add(sym)
+            heapq.heappush(heap, (-stats[p], p))
+
     merges = []
-    for _ in range(n_merges):
-        pairs: dict = {}
-        for sym, n in words.items():
-            for i in range(len(sym) - 1):
-                p = (sym[i], sym[i + 1])
-                pairs[p] = pairs.get(p, 0) + n
-        if not pairs:
-            break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pairs[best] < 2:
+    while len(merges) < n_merges and heap:
+        negc, best = heapq.heappop(heap)
+        if stats.get(best) != -negc:
+            continue  # stale heap entry — count changed since push
+        if -negc < 2:
             break
         merges.append(best)
         joined = best[0] + best[1]
-        new_words = {}
-        for sym, n in words.items():
+        for sym in sorted(index.get(best, ())):
+            n = words.pop(sym)
+            detach(sym, n)
             out, i = [], 0
             while i < len(sym):
                 if (i < len(sym) - 1 and sym[i] == best[0]
@@ -595,8 +665,16 @@ def bpe_train(df: DataFrame, text_col: str = "text", *,
                 else:
                     out.append(sym[i])
                     i += 1
-            new_words[tuple(out)] = new_words.get(tuple(out), 0) + n
-        words = new_words
+            new_sym = tuple(out)
+            if new_sym in words:
+                detach(new_sym, words[new_sym])
+                words[new_sym] += n
+                attach(new_sym, words[new_sym])
+            else:
+                words[new_sym] = n
+                attach(new_sym, n)
+        stats.pop(best, None)
+        index.pop(best, None)
 
     # base alphabet first (chars incl. </w>), then merge products in
     # merge order — the conventional id layout
