@@ -391,20 +391,19 @@ def encode_documents(df: DataFrame, vocab: DataFrame,
 # Gopher-style hard filter rules (Rae et al. 2021 §A.1.1, adapted to
 # this corpus' token structure). Each rule is (name, keep-predicate
 # builder over the token array / text column).
-def quality_filter(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id", *,
-                   min_tokens: int = 10, max_tokens: int = 100_000,
-                   min_avg_token_len: float = 2.0,
-                   max_avg_token_len: float = 12.0,
-                   max_stopword_ratio: float = 0.5,
-                   min_distinct_ratio: float = 0.1) -> DataFrame:
-    """Rule-based document filter with per-rule audit reasons:
-    ``(id, keep, reasons)`` where ``reasons`` lists every failed rule
-    (empty ⇒ keep). The standard hard-filter stage of an LLM data
-    pipeline (Gopher / C4 style), kept fully expression-side: one pass,
-    zero shuffle, zero Python — at 10^12 docs this runs at scan speed.
-    Use ``.where(F.col("keep"))`` to materialize the survivors;
-    aggregate ``reasons`` for the drop report."""
+def quality_cols(text_col: str = "text", *,
+                 min_tokens: int = 10, max_tokens: int = 100_000,
+                 min_avg_token_len: float = 2.0,
+                 max_avg_token_len: float = 12.0,
+                 max_stopword_ratio: float = 0.5,
+                 min_distinct_ratio: float = 0.1
+                 ) -> tuple[Column, Column]:
+    """The quality filter as a pure ``(keep, reasons)`` EXPRESSION
+    pair over ``text_col`` — for callers that want the verdict as
+    columns ON the corpus frame (``withColumn`` + ``where``) with zero
+    shuffle and no join back, the same in-place pattern as
+    ``scrub.redact_cols``. :func:`quality_filter` wraps this into the
+    standalone verdict frame."""
     toks = tokens_col(text_col)
     n_tok = F.size(toks).cast("double")
     avg_len = (F.aggregate(toks, F.lit(0).cast("long"),
@@ -423,9 +422,33 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     ]
     reasons = F.array_compact(F.array(
         *[F.when(~pred, F.lit(name)) for name, pred in rules]))
+    return (F.size(reasons) == 0), reasons
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", *,
+                   min_tokens: int = 10, max_tokens: int = 100_000,
+                   min_avg_token_len: float = 2.0,
+                   max_avg_token_len: float = 12.0,
+                   max_stopword_ratio: float = 0.5,
+                   min_distinct_ratio: float = 0.1) -> DataFrame:
+    """Rule-based document filter with per-rule audit reasons:
+    ``(id, keep, reasons)`` where ``reasons`` lists every failed rule
+    (empty ⇒ keep). The standard hard-filter stage of an LLM data
+    pipeline (Gopher / C4 style), kept fully expression-side: one pass,
+    zero shuffle, zero Python — at 10^12 docs this runs at scan speed.
+    Use ``.where(F.col("keep"))`` to materialize the survivors;
+    aggregate ``reasons`` for the drop report. To keep the verdict ON
+    the corpus frame (no join back), use :func:`quality_cols`."""
+    keep, reasons = quality_cols(
+        text_col, min_tokens=min_tokens, max_tokens=max_tokens,
+        min_avg_token_len=min_avg_token_len,
+        max_avg_token_len=max_avg_token_len,
+        max_stopword_ratio=max_stopword_ratio,
+        min_distinct_ratio=min_distinct_ratio)
     return df.select(
         F.col(id_col),
-        (F.size(reasons) == 0).alias("keep"),
+        keep.alias("keep"),
         reasons.alias("reasons"))
 
 
@@ -505,26 +528,13 @@ def ngram_lm_train(df: DataFrame, text_col: str = "text", *,
     return {"total": total, "uni": vocab, "bi": bigrams}
 
 
-def ngram_lm_score(df: DataFrame, model: dict,
-                   text_col: str = "text",
-                   id_col: str = "doc_id", *,
-                   alpha: float = 0.1) -> DataFrame:
-    """Per-document LM quality score: mean log2 probability per token
-    under the bigram model with add-``alpha`` smoothed backoff
-    (``P(b|a) = (bi[a,b] + alpha) / (uni[a] + alpha·V)`` when ``a`` is
-    in vocab, else the smoothed unigram ``(uni[b] + alpha) /
-    (total + alpha·V)``), plus ``ppl = 2^(-mean)`` and the OOV rate.
-    Lower perplexity = more natural under the corpus LM; the CCNet
-    head/middle/tail split is a quantile cut over ``ppl`` downstream.
-
-    Zero shuffle: the pruned model rides inside an Arrow-batched
-    pandas UDF closure — scoring is a pure map over the corpus, the
-    exact pattern (and size bound) of ``encode_documents``.
-
-    Empty/whitespace-only documents have NO tokens to score: they get
-    NULL logprob/ppl/oov_rate (a sentinel the caller must handle, not
-    an arbitrary smoothed-unigram constant — an empty doc is not
-    "natural", it is unscorable)."""
+def lm_score_col(model: dict, text_col: Column | str = "text", *,
+                 alpha: float = 0.1) -> Column:
+    """The LM score as a pure COLUMN expression —
+    ``struct<logprob, ppl, oov_rate>`` over ``text_col`` — for callers
+    that want the score attached to the corpus frame (``withColumn``,
+    zero shuffle, no join back). :func:`ngram_lm_score` wraps this
+    into the standalone score frame; semantics documented there."""
     import math
 
     import pandas as pd
@@ -561,7 +571,33 @@ def ngram_lm_score(df: DataFrame, model: dict,
              "ppl": pd.array(ppl_out, dtype="Float64"),
              "oov_rate": pd.array(oov_out, dtype="Float64")})
 
-    s = score(F.col(text_col))
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return score(c)
+
+
+def ngram_lm_score(df: DataFrame, model: dict,
+                   text_col: str = "text",
+                   id_col: str = "doc_id", *,
+                   alpha: float = 0.1) -> DataFrame:
+    """Per-document LM quality score: mean log2 probability per token
+    under the bigram model with add-``alpha`` smoothed backoff
+    (``P(b|a) = (bi[a,b] + alpha) / (uni[a] + alpha·V)`` when ``a`` is
+    in vocab, else the smoothed unigram ``(uni[b] + alpha) /
+    (total + alpha·V)``), plus ``ppl = 2^(-mean)`` and the OOV rate.
+    Lower perplexity = more natural under the corpus LM; the CCNet
+    head/middle/tail split is a quantile cut over ``ppl`` downstream.
+
+    Zero shuffle: the pruned model rides inside an Arrow-batched
+    pandas UDF closure — scoring is a pure map over the corpus, the
+    exact pattern (and size bound) of ``encode_documents``. To keep
+    the score ON the corpus frame (no join back), use
+    :func:`lm_score_col`.
+
+    Empty/whitespace-only documents have NO tokens to score: they get
+    NULL logprob/ppl/oov_rate (a sentinel the caller must handle, not
+    an arbitrary smoothed-unigram constant — an empty doc is not
+    "natural", it is unscorable)."""
+    s = lm_score_col(model, text_col, alpha=alpha)
     return df.select(F.col(id_col),
                      s.getField("logprob").alias("lm_logprob"),
                      s.getField("ppl").alias("lm_ppl"),

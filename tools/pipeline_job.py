@@ -34,11 +34,15 @@ With ``--url-col`` (a URL column present in the input), stage 2 also
 applies the host-cap filter (``urlops.host_cap_filter`` — anti-SEO-farm
 cap, bounded two-stage min-k) before quality filtering.
 
-Shuffle ledger for the whole job: sample and filter are pure maps;
-exact dedup and encode each shuffle once on doc-sized rows; SimHash
-pair-finding shuffles fingerprint bands (bands × 8 B per doc), never
-text; decontamination broadcasts the benchmark side. Nothing shuffles
-the corpus twice in a row on different keys.
+Shuffle ledger for the whole job: sample, quality filter (verdict
+columns via ``textops.quality_cols``) and the LM cut (score column
+via ``textops.lm_score_col``) are pure maps over the corpus — no join
+back, no exchange; the host-cap survivors stream through a BROADCAST
+left-anti join against the small over-cap drop set; exact dedup
+shuffles once on doc-sized rows; SimHash pair-finding shuffles
+fingerprint bands (bands × 8 B per doc), never text; decontamination
+broadcasts the benchmark side. Nothing shuffles the corpus twice in a
+row on different keys.
 """
 
 from __future__ import annotations
@@ -95,23 +99,31 @@ def main() -> None:
         docs = sampling.deterministic_sample(docs, "doc_id", args.sample)
         stats["sampled"] = docs.count()
 
-    # 1.5 host-cap (only when the input carries a URL column)
+    # 1.5 host-cap (only when the input carries a URL column).
+    # The corpus is never shuffled: the DROP set — over-cap hosts'
+    # overflow, small by the power-law head argument that sizes the
+    # cap — is broadcast into a left-anti join, so survivors stream
+    # straight through map-side.
     if args.url_col:
         capped = urlops.host_cap_filter(docs, url_col=args.url_col,
                                         max_per_host=args.max_per_host)
-        docs = docs.join(capped.where(F.col("keep")).select("doc_id"),
-                         "doc_id")
+        drops = capped.where(~F.col("keep")).select("doc_id")
+        docs = docs.join(F.broadcast(drops), "doc_id", "left_anti")
         stats["after_host_cap"] = docs.count()
 
-    # 2. quality filter + drop report
-    verdicts = textops.quality_filter(docs)
-    (verdicts.where(~F.col("keep"))
-             .select(F.explode("reasons").alias("reason"))
-             .groupBy("reason").agg(F.count(F.lit(1)).alias("docs"))
-             .write.mode("overwrite")
-             .parquet(f"{args.output}/drop_report"))
-    docs = (docs.join(verdicts.where(F.col("keep")).select("doc_id"),
-                      "doc_id"))
+    # 2. quality filter + drop report — the verdict is a pure per-row
+    # expression, so it lives ON the corpus as columns (withColumn +
+    # where, zero shuffle, no join back); the drop report aggregates
+    # the same expression (its groupBy shuffles only tiny per-rule
+    # counts, never documents)
+    keep_c, reasons_c = textops.quality_cols()
+    docs = docs.withColumn("__reasons__", reasons_c)
+    (docs.where(F.size("__reasons__") > 0)
+         .select(F.explode("__reasons__").alias("reason"))
+         .groupBy("reason").agg(F.count(F.lit(1)).alias("docs"))
+         .write.mode("overwrite")
+         .parquet(f"{args.output}/drop_report"))
+    docs = docs.where(F.size("__reasons__") == 0).drop("__reasons__")
     docs.persist()
     stats["after_filter"] = docs.count()
 
@@ -153,14 +165,21 @@ def main() -> None:
         stats["after_decontaminate"] = docs.count()
 
     # 5.5 LM perplexity cut (CCNet head): train on the deduped corpus
-    # itself, score zero-shuffle, keep the most-natural Q quantile
+    # itself, score zero-shuffle, keep the most-natural Q quantile.
+    # The score is a pure Arrow-UDF map, so it rides ON the corpus as
+    # a column — one aggregate pass finds the cut, one filtered pass
+    # keeps the head; no join, no corpus shuffle. Zero-token docs
+    # score NULL and are dropped with the tail (they carry no LM
+    # evidence; the quality filter normally removes them earlier).
     if 0.0 < args.lm_keep < 1.0:
         model = textops.ngram_lm_train(docs)
-        scored = textops.ngram_lm_score(docs, model)
-        cut = scored.agg(F.expr(
-            f"percentile_approx(lm_ppl, {args.lm_keep})")).collect()[0][0]
-        docs = docs.join(scored.where(F.col("lm_ppl") <= cut)
-                               .select("doc_id"), "doc_id")
+        ppl = textops.lm_score_col(model).getField("ppl")
+        docs = docs.withColumn("__lm_ppl__", ppl)
+        cut = docs.agg(F.expr(
+            f"percentile_approx(__lm_ppl__, {args.lm_keep})")
+        ).collect()[0][0]
+        docs = (docs.where(F.col("__lm_ppl__") <= cut)
+                    .drop("__lm_ppl__"))
         stats["lm_ppl_cut"] = float(cut)
         stats["after_lm_cut"] = docs.count()
 
