@@ -35,6 +35,24 @@ HEX = "0123456789abcdef"
 # exact dedup
 # ---------------------------------------------------------------------------
 
+def _min_pos_enc(id_col: str, pos: Column | str) -> Column:
+    """Lexicographic-min (doc, position) as ONE associative ``min``
+    over an encoded long (``doc_id * 2^20 + pos``) — map-side
+    combinable, identical semantics in any ANSI engine (vs min_by /
+    struct ordering, which is engine-defined). Exact while
+    ``pos < 2^20`` (≈1.05M — a ~1M-token document) and
+    ``doc_id < 2^43`` (8.8e12, above the 10^12 north-star doc count).
+    A position beyond the bound RAISES at execution time instead of
+    silently corrupting keeper coordinates (and, downstream,
+    ``remove_duplicate_spans`` deleting the wrong tokens): split or
+    truncate megadocs upstream."""
+    p = F.col(pos) if isinstance(pos, str) else pos
+    guarded = F.when(p < (1 << 20), p).otherwise(F.raise_error(F.lit(
+        "position >= 2^20 overflows the (doc,pos) min-encoding — "
+        "split or truncate docs beyond ~1M tokens upstream")))
+    return F.min(F.col(id_col) * F.lit(1 << 20) + guarded)
+
+
 def exact_duplicate_groups(df: DataFrame, key: Column | str,
                            id_col: str = "doc_id") -> DataFrame:
     """Duplicate groups by an exact content key: one row per key with
@@ -89,12 +107,9 @@ def paragraph_duplicate_groups(df: DataFrame, text_col: str = "text",
     ``exact_duplicate_groups``: the only shuffle is the hash groupBy
     (map-side partials; shuffle volume = #distinct paragraphs)."""
     p = paragraphs(df, text_col, id_col, para_tokens=para_tokens)
-    # lexicographic-min (doc_id, para_idx) as ONE min over an encoded
-    # long — a plain associative agg (map-side combinable) whose
-    # semantics are identical in any ANSI engine, vs min_by/struct
-    # ordering which is engine-defined. para_idx < 2^20 (a 8M-token
-    # doc) and doc_id < 2^43 keep the encoding exact.
-    enc = F.min(F.col(id_col) * F.lit(1 << 20) + F.col("para_idx"))
+    # guarded (doc_id, para_idx) min-encoding — see _min_pos_enc for
+    # the bound contract (para_idx < 2^20 ≈ 1M, doc_id < 2^43)
+    enc = _min_pos_enc(id_col, "para_idx")
     return (p.groupBy(F.md5("para_text").alias("para_key"))
              .agg(F.count(F.lit(1)).alias("group_size"),
                   F.count_distinct(F.col(id_col)).alias("n_docs"),
@@ -237,9 +252,9 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     no join, no driver materialization."""
     w = winnowed_windows(df, text_col, id_col,
                          span_tokens=span_tokens, winnow=winnow)
-    # pos < 2^20 (an 8M-token doc) and doc_id < 2^43 keep the min-
-    # encoding exact — same contract as paragraph_duplicate_groups
-    enc = F.min(F.col(id_col) * F.lit(1 << 20) + F.col("pos"))
+    # guarded (doc_id, pos) min-encoding — _min_pos_enc documents the
+    # exactness bound (pos < 2^20 ≈ 1M tokens, doc_id < 2^43)
+    enc = _min_pos_enc(id_col, "pos")
     return (w.groupBy(F.md5("window_text").alias("span_key"))
              .agg(F.count(F.lit(1)).alias("n_occurrences"),
                   F.count_distinct(F.col(id_col)).alias("n_docs"),
@@ -298,48 +313,63 @@ def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
     duplicated ``span_tokens``-token span EXCEPT the canonical keeper
     (:func:`duplicate_spans`'s min-(doc,pos) occurrence), then rebuild
     each document from its surviving tokens. Overlapping duplicated
-    windows merge naturally — a token is dropped if ANY non-keeper
-    duplicated window covers it. Returns the full input frame with
-    ``text`` rewritten plus ``n_tokens_removed`` for auditability;
-    docs without duplicated spans pass through byte-identical.
+    windows merge naturally — a token is dropped if a non-keeper
+    duplicated window covers it AND no keeper window covers it. The
+    keeper exemption is load-bearing (round-4 ADVICE): without it, a
+    DIFFERENT span's non-keeper occurrence overlapping span A's
+    canonical copy would destroy A's keeper too, so a span could
+    vanish from the corpus entirely. With it, every duplicated span's
+    canonical occurrence survives intact (tokens shared between a
+    keeper window and an overlapping non-keeper window are retained —
+    deliberate under-removal in favor of the keep-one guarantee).
+    Returns the full input frame with ``text`` rewritten plus
+    ``n_tokens_removed`` for auditability; docs without duplicated
+    spans pass through byte-identical.
 
     Plan: windows → one md5 groupBy (the :func:`duplicate_spans`
     exchange) → equijoin of window occurrences onto duplicated keys
     (same key, exchange reused under AQE) → per-doc collect of the
-    (bounded-by-token-count) drop positions → one join back onto the
-    corpus → expression-only token rebuild. No window function; the
-    per-doc position array is the only collected structure and is
-    capped by doc length, never by corpus size."""
+    (bounded-by-token-count) drop and keeper positions → one join back
+    onto the corpus → expression-only token rebuild. No window
+    function; the per-doc position arrays are the only collected
+    structures and are capped by doc length, never by corpus size."""
     w = (token_windows(df, text_col, id_col,
                        span_tokens=span_tokens, stride=1)
          .select(F.col(id_col), "pos",
                  F.md5("window_text").alias("span_key")))
     dups = (w.groupBy("span_key")
              .agg(F.count(F.lit(1)).alias("n_occ"),
-                  F.min(F.col(id_col) * F.lit(1 << 20) + F.col("pos"))
-                   .alias("__enc__"))
+                  _min_pos_enc(id_col, "pos").alias("__enc__"))
              .where(F.col("n_occ") >= min_occurrences)
              .select("span_key",
                      F.floor(F.col("__enc__") / F.lit(1 << 20))
                       .alias("keep_doc"),
                      (F.col("__enc__") % F.lit(1 << 20)).cast("int")
                       .alias("keep_pos")))
+    is_keeper = ((F.col(id_col) == F.col("keep_doc"))
+                 & (F.col("pos") == F.col("keep_pos")))
     drops = (w.join(dups, "span_key")
-              .where(~((F.col(id_col) == F.col("keep_doc"))
-                       & (F.col("pos") == F.col("keep_pos"))))
               .groupBy(id_col)
-              .agg(F.array_sort(F.collect_set("pos")).alias("__drops__")))
+              .agg(F.array_sort(F.array_compact(F.collect_set(
+                       F.when(~is_keeper, F.col("pos")))))
+                   .alias("__drops__"),
+                   F.array_sort(F.array_compact(F.collect_set(
+                       F.when(is_keeper, F.col("pos")))))
+                   .alias("__keeps__")))
     toks = tokens_col(text_col)
     rebuilt = (df.join(drops, id_col, "left")
                  .withColumn("__toks__", toks))
     # token j survives unless some drop-start p covers it
-    # (p <= j < p + span) — per-row array expressions only
+    # (p <= j < p + span) and NO keeper-start covers it — per-row
+    # array expressions only
+    def covers(j):
+        return lambda p: (p <= j) & (j < p + span_tokens)
+
     keep = F.filter(
         F.sequence(F.lit(0), F.size("__toks__") - 1),
         lambda j: ~F.coalesce(
-            F.exists("__drops__",
-                     lambda p: (p <= j) & (j < p + span_tokens)),
-            F.lit(False)))
+            F.exists("__drops__", covers(j)), F.lit(False))
+        | F.coalesce(F.exists("__keeps__", covers(j)), F.lit(False)))
     return (rebuilt
             .withColumn("__keep__", keep)
             .withColumn("n_tokens_removed",
@@ -350,7 +380,7 @@ def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
                             "__keep__",
                             lambda j: F.element_at(
                                 "__toks__", (j + 1).cast("int"))), " "))
-            .drop("__drops__", "__toks__", "__keep__"))
+            .drop("__drops__", "__keeps__", "__toks__", "__keep__"))
 
 
 # ---------------------------------------------------------------------------

@@ -218,6 +218,11 @@ def kmeans_codebook(corpus: DataFrame, *, id_col: str = "vec_id",
                                    StructType)
     seed_rows = (corpus.orderBy(F.col(id_col)).limit(n_centroids)
                  .select(emb_col).collect())
+    if len(seed_rows) < n_centroids:
+        raise ValueError(
+            f"corpus has only {len(seed_rows)} rows — cannot seed "
+            f"n_centroids={n_centroids} cells; lower n_centroids or "
+            f"grow the corpus")
     cb = np.asarray([[float(x) for x in r[emb_col]] for r in seed_rows],
                     dtype=np.float64)
     k, dim = cb.shape
@@ -511,6 +516,14 @@ def pq_train(corpus: DataFrame, *, id_col: str = "vec_id",
                                    StructType)
     seed_rows = (corpus.orderBy(F.col(id_col)).limit(n_codes)
                  .select(emb_col).collect())
+    if len(seed_rows) < n_codes:
+        # fail fast like the divisibility check below: a silently
+        # smaller codebook would ripple wrong shapes into every
+        # downstream encode/LUT (round-4 ADVICE)
+        raise ValueError(
+            f"corpus has only {len(seed_rows)} rows — cannot seed "
+            f"n_codes={n_codes} PQ codes; lower n_codes or grow the "
+            f"corpus")
     seeds = np.asarray([[float(x) for x in r[emb_col]]
                         for r in seed_rows], dtype=np.float64)
     k, dim = seeds.shape

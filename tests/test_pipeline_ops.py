@@ -544,6 +544,45 @@ def test_remove_duplicate_spans_intra_doc_repeat(spark):
     assert got["n_tokens_removed"] == 8
 
 
+def test_remove_duplicate_spans_keeper_survives_overlap(spark):
+    # round-4 ADVICE: span B's NON-keeper occurrence overlapping span
+    # A's KEEPER occurrence must not destroy A's canonical copy.
+    # span A = "a b c d": keeper doc1@0, dup doc2@3
+    # span B = "c d e f": keeper doc0@0, dup doc1@2 (overlaps A@0)
+    rows = [
+        (0, "c d e f q r s t"),
+        (1, "a b c d e f u v"),
+        (2, "z z z a b c d w w w"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           dedup.remove_duplicate_spans(df, span_tokens=4).collect()}
+    # doc0: B's keeper — untouched
+    assert got[0]["text"] == rows[0][1]
+    assert got[0]["n_tokens_removed"] == 0
+    # doc1: A's keeper tokens (0-3) are EXEMPT even though B's
+    # non-keeper occurrence at pos 2 covers tokens 2-5; only the
+    # non-keeper-only tokens (e, f) go
+    assert got[1]["text"] == "a b c d u v"
+    assert got[1]["n_tokens_removed"] == 2
+    # doc2: A's non-keeper occurrence at pos 3 drops tokens 3-6
+    assert got[2]["text"] == "z z z w w w"
+    assert got[2]["n_tokens_removed"] == 4
+
+
+def test_min_pos_encoding_guard_raises_past_bound(spark):
+    # positions >= 2^20 would silently corrupt keeper coordinates;
+    # the encoding must raise instead (round-4 ADVICE)
+    from sparkjesse.dedup import _min_pos_enc
+    ok = spark.createDataFrame([(7, 5), (2, 3)], ["doc_id", "pos"])
+    assert (ok.agg(_min_pos_enc("doc_id", "pos").alias("e"))
+              .collect()[0]["e"]) == (2 << 20) + 3
+    bad = spark.createDataFrame([(1, 5), (1, 1 << 20)],
+                                ["doc_id", "pos"])
+    with pytest.raises(Exception, match="min-encoding"):
+        bad.agg(_min_pos_enc("doc_id", "pos")).collect()
+
+
 # -- multi-digest (>128-bit) SimHash ----------------------------------------
 
 def _py_simhash_bands(text: str, bits: int, bands: int) -> tuple:
@@ -1084,6 +1123,17 @@ def test_bpe_train_incremental_matches_naive_recount(spark):
             new_table[tuple(out)] = new_table.get(tuple(out), 0) + n
         table = new_table
     assert got["merges"] == merges
+
+
+def test_codebook_training_fails_fast_on_undersized_corpus(spark):
+    # round-4 ADVICE: asking for more codes/centroids than the corpus
+    # has rows must raise (matching the dim-divisibility check), not
+    # silently train a smaller codebook whose shapes ripple downstream
+    df = _pq_fixture(spark, n=8)
+    with pytest.raises(ValueError, match="cannot seed"):
+        similarity.pq_train(df, m=4, n_codes=16, n_iters=1)
+    with pytest.raises(ValueError, match="cannot seed"):
+        similarity.kmeans_codebook(df, n_centroids=16, n_iters=1)
 
 
 def test_ivfpq_residual_index_and_recall(spark):
