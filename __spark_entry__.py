@@ -594,12 +594,13 @@ def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", txt.alias("text"))
 
 
-def _txt_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return scrub.pii_signals(_pii_docs(spark, sf_dir))
-
-
 def _txt_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return scrub.redact_pii(_pii_docs(spark, sf_dir))
+    """PII signals + redaction in ONE oracle row (round-5 budget fold:
+    the two queries shared the _PII_CHAIN pipeline; merging frees a
+    slot for the round-4 operator family). Both sides stay zero-
+    shuffle maps; the join is the result shape only."""
+    df = _pii_docs(spark, sf_dir)
+    return scrub.pii_signals(df).join(scrub.redact_pii(df), "doc_id")
 
 
 def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -623,15 +624,18 @@ def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", url.alias("url"))
 
 
-def _web_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _url_docs(spark, sf_dir)
-    return (urlops.url_components(df)
-            .join(urlops.canonical_urls(df), "doc_id"))
-
-
 def _web_hostcap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return urlops.host_cap_filter(_url_docs(spark, sf_dir),
-                                  max_per_host=50)
+    """URL parse + canonicalization + host-cap verdict in ONE oracle
+    row (round-5 budget fold — host-cap already parses URLs, so the
+    merged row pins url_components, canonical_urls AND
+    host_cap_filter at once, freeing a slot for the round-4 operator
+    family)."""
+    df = _url_docs(spark, sf_dir)
+    comp = (urlops.url_components(df)
+            .join(urlops.canonical_urls(df), "doc_id"))
+    cap = (urlops.host_cap_filter(df, max_per_host=50)
+           .select("doc_id", "host_docs", "keep"))
+    return comp.join(cap, "doc_id")
 
 
 # -- similarity search ------------------------------------------------------
@@ -673,6 +677,42 @@ def _sim_assign_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays pytest-pinned (iterative k-means is not SQL-expressible)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.assignment_parity(emb, n_centroids=64)
+
+
+def _sim_pq_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-pinned parity for the PQ encode kernel (round-4 VERDICT
+    task 2, the `sim_assign_parity` pattern): every embedding encoded
+    against the UNTRAINED seed codebooks (first 16 vectors by id, 4
+    contiguous subspaces — data-derived, no Lloyd iterations, so the
+    codes are pure argmin-squared-L2 over literals). The DuckDB twin
+    recomputes every (vec_id, sub) code independently; a drift in the
+    encode kernel's subspace split, distance fold, or argmin tiebreak
+    breaks the value hash. pq_train's trained codebooks flow through
+    the IDENTICAL pq_encode kernel (and pq_topk's ADC LUT is the same
+    per-subspace distance), so parity here transfers to the trained
+    path, which stays pytest-pinned (Lloyd is iterative, not
+    SQL-expressible)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_seed_codebooks(emb, m=4, n_codes=16)
+    return similarity.pq_encode(emb, cbs).select(
+        "vec_id", F.posexplode("pq_code").alias("sub", "code"))
+
+
+def _txt_lm_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-pinned cross-engine parity for the FULL bigram-LM path
+    (round-4 VERDICT task 4): train on the corpus (top-30 vocab,
+    min_count=2, 200-bigram cap — every pruning knob exercised) and
+    score every document with alpha=0.5 (exactly representable in
+    binary, so both engines smooth with the identical double). The
+    DuckDB twin recomputes the vocab, the capped bigram table, the
+    per-token smoothed-backoff log2 probabilities, and the
+    POSITION-ORDER left-fold mean (list_reduce over list(lp ORDER BY
+    pos) — the same fold order as Python's sum), so logprob, ppl and
+    oov_rate hash-match to 6 decimals."""
+    docs = _docs(spark, sf_dir)
+    model = textops.ngram_lm_train(docs, max_vocab=30, min_count=2,
+                                   max_bigrams=200)
+    return textops.ngram_lm_score(docs, model, alpha=0.5)
 
 
 def _kvc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -725,9 +765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_vocab": _txt_vocab,
         "txt_encode": _txt_encode,
         "txt_filter": _txt_filter,
-        "txt_pii": _txt_pii,
         "txt_redact": _txt_redact,
-        "web_urls": _web_urls,
+        "txt_lm_parity": _txt_lm_parity,
         "web_hostcap": _web_hostcap,
         "dd_exact": _dd_exact,
         "dd_minhash": _dd_minhash,
@@ -747,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann": _sim_ann,
         "sim_ivf": _sim_ivf,
         "sim_assign_parity": _sim_assign_parity,
+        "sim_pq_parity": _sim_pq_parity,
         "sim_centroids": _sim_centroids,
         "kvc_agg": _kvc_agg,
     }
@@ -1413,20 +1453,63 @@ SELECT doc_id, (len(reasons) = 0) AS keep,
        coalesce(array_to_string(reasons, ','), '') AS reasons
 FROM r
 """,
-        "txt_pii": f"""
+        "txt_redact": f"""
 WITH {_PII_CHAIN}
 SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4,
        n_email + n_ssn + n_phone + n_ipv4 AS n_pii,
-       (n_email + n_ssn + n_phone + n_ipv4) > 0 AS has_pii
-FROM s4
-""",
-        "txt_redact": f"""
-WITH {_PII_CHAIN}
-SELECT doc_id, t AS redacted,
+       (n_email + n_ssn + n_phone + n_ipv4) > 0 AS has_pii,
+       t AS redacted,
        n_email + n_ssn + n_phone + n_ipv4 AS n_redacted
 FROM s4
 """,
-        "web_urls": f"""
+        "txt_lm_parity": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+tot AS (SELECT sum(len(toks))::BIGINT AS total FROM t),
+uc AS (SELECT tok, count(*)::BIGINT AS n
+       FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+uni AS (SELECT tok, n FROM
+          (SELECT tok, n FROM uc ORDER BY n DESC, tok ASC LIMIT 30)
+        WHERE n >= 2),
+vv AS (SELECT greatest(count(*), 1)::DOUBLE AS V FROM uni),
+bg0 AS (SELECT bb.a AS a, bb.b AS b FROM t,
+          unnest([{'a': toks[i], 'b': toks[i + 1]}
+                  FOR i IN range(1, len(toks))]) AS u(bb)),
+bgc AS (SELECT a, b, count(*)::BIGINT AS n FROM bg0 GROUP BY a, b
+        HAVING count(*) >= 2),
+bi AS (SELECT bgc.a, bgc.b, bgc.n FROM bgc
+       JOIN uni ua ON bgc.a = ua.tok
+       JOIN uni ub ON bgc.b = ub.tok
+       ORDER BY bgc.n DESC, bgc.a ASC, bgc.b ASC LIMIT 200),
+p AS (SELECT doc_id, unnest(toks) AS w,
+             unnest(range(1, len(toks) + 1)) AS pos FROM t),
+pp AS (SELECT doc_id, pos, w,
+              lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       FROM p),
+sc AS (SELECT pp.doc_id, pp.pos,
+         log2(CASE WHEN up.n IS NOT NULL
+              THEN (coalesce(bi.n, 0) + 0.5)
+                   / (up.n + 0.5 * (SELECT V FROM vv))
+              ELSE (coalesce(uw.n, 0) + 0.5)
+                   / ((SELECT total FROM tot)
+                      + 0.5 * (SELECT V FROM vv))
+              END) AS lp,
+         (uw.n IS NULL)::INT AS oov
+       FROM pp
+       LEFT JOIN uni up ON pp.prev = up.tok
+       LEFT JOIN uni uw ON pp.w = uw.tok
+       LEFT JOIN bi ON pp.prev = bi.a AND pp.w = bi.b),
+agg AS (SELECT doc_id,
+          list_reduce(list(lp ORDER BY pos), (x, y) -> x + y)
+            / count(*) AS mean_lp,
+          sum(oov)::DOUBLE / count(*) AS oov
+        FROM sc GROUP BY doc_id)
+SELECT doc_id, round(mean_lp, 6) AS lm_logprob,
+       round(2 ^ (-mean_lp), 6) AS lm_ppl,
+       round(oov, 6) AS oov_rate
+FROM agg
+""",
+        "web_hostcap": f"""
 WITH u AS (SELECT doc_id, {_URL_EXPR} AS url FROM documents),
 e AS (SELECT doc_id,
         lower(regexp_extract(url, '{_URL_RE_SQL}', 1)) AS scheme,
@@ -1434,33 +1517,27 @@ e AS (SELECT doc_id,
         regexp_extract(url, '{_URL_RE_SQL}', 3) AS port,
         regexp_extract(url, '{_URL_RE_SQL}', 4) AS path,
         regexp_extract(url, '{_URL_RE_SQL}', 5) AS "query"
-      FROM u)
-SELECT doc_id, scheme, host, port, path, "query",
-       CASE WHEN scheme = '' THEN NULL
-            ELSE scheme || '://' || host ||
-              CASE WHEN port = ''
-                     OR (scheme = 'http' AND port = '80')
-                     OR (scheme = 'https' AND port = '443')
-                     OR (scheme = 'ftp' AND port = '21')
-                   THEN '' ELSE ':' || port END ||
-              CASE WHEN path = '' THEN '/'
-                   WHEN path <> '/' AND path LIKE '%/'
-                   THEN substr(path, 1, length(path) - 1)
-                   ELSE path END
-       END AS canonical_url
-FROM e
-""",
-        "web_hostcap": f"""
-WITH u AS (SELECT doc_id, {_URL_EXPR} AS url FROM documents),
-h AS (SELECT doc_id,
-        lower(regexp_extract(url, '{_URL_RE_SQL}', 2)) AS host FROM u),
-c AS (SELECT host, count(*)::BIGINT AS host_docs FROM h GROUP BY host),
-r AS (SELECT doc_id, host,
+      FROM u),
+c AS (SELECT host, count(*)::BIGINT AS host_docs FROM e GROUP BY host),
+r AS (SELECT doc_id,
         row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
-      FROM h)
-SELECT r.doc_id, r.host, c.host_docs,
+      FROM e)
+SELECT e.doc_id, e.scheme, e.host, e.port, e.path, e."query",
+       CASE WHEN e.scheme = '' THEN NULL
+            ELSE e.scheme || '://' || e.host ||
+              CASE WHEN e.port = ''
+                     OR (e.scheme = 'http' AND e.port = '80')
+                     OR (e.scheme = 'https' AND e.port = '443')
+                     OR (e.scheme = 'ftp' AND e.port = '21')
+                   THEN '' ELSE ':' || e.port END ||
+              CASE WHEN e.path = '' THEN '/'
+                   WHEN e.path <> '/' AND e.path LIKE '%/'
+                   THEN substr(e.path, 1, length(e.path) - 1)
+                   ELSE e.path END
+       END AS canonical_url,
+       c.host_docs,
        (c.host_docs <= 50 OR r.rn <= 50) AS keep
-FROM r JOIN c USING (host)
+FROM e JOIN c USING (host) JOIN r USING (doc_id)
 """,
         "dd_exact": f"""
 SELECT array_to_string(list_slice({_TOKS}, 1, 3), ' ') AS dup_key,
@@ -1638,6 +1715,21 @@ asgn AS (SELECT e.vec_id, c.cent_id,
 SELECT vec_id, cent_id::INT AS cell_literal, cent_id::INT AS cell_udf,
        TRUE AS agree
 FROM asgn WHERE r = 1
+""",
+        "sim_pq_parity": """
+WITH s AS (SELECT embedding,
+             row_number() OVER (ORDER BY vec_id) - 1 AS code
+           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+g AS (SELECT e.vec_id, sub.s AS sub, sd.code,
+        list_reduce([ (e.embedding[sub.s * 16 + j]::DOUBLE
+                       - sd.embedding[sub.s * 16 + j]::DOUBLE) ^ 2
+                      FOR j IN range(1, 17) ], (a, b) -> a + b) AS d2
+      FROM embeddings e, (SELECT unnest(range(0, 4)) AS s) sub, s sd),
+r AS (SELECT vec_id, sub, code,
+        row_number() OVER (PARTITION BY vec_id, sub
+                           ORDER BY d2 ASC, code ASC) AS rn
+      FROM g)
+SELECT vec_id, sub::INT AS sub, code::INT AS code FROM r WHERE rn = 1
 """,
         "kvc_agg": """
 SELECT event_type, count(*)::BIGINT AS cnt, sum(k)::BIGINT AS sum_k,

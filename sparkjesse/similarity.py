@@ -487,6 +487,52 @@ def label_centroids(df: DataFrame, emb_col: str = "embedding",
 # product quantization (PQ) — compressed-domain ANN for 10^12-row tables
 # ---------------------------------------------------------------------------
 
+def _pq_seed_arrays(corpus: DataFrame, id_col: str, emb_col: str,
+                    m: int, n_codes: int) -> list:
+    """Deterministic PQ seed codebooks as a list of ``m`` numpy
+    ``(n_codes, dim/m)`` arrays: the first ``n_codes`` corpus vectors
+    by id, split into contiguous subspaces (no RNG, no training).
+    Shared by :func:`pq_train` (Lloyd initialization) and
+    :func:`pq_seed_codebooks` (the oracle-facing untrained twin)."""
+    seed_rows = (corpus.orderBy(F.col(id_col)).limit(n_codes)
+                 .select(emb_col).collect())
+    if len(seed_rows) < n_codes:
+        # fail fast like the divisibility check: a silently smaller
+        # codebook would ripple wrong shapes into every downstream
+        # encode/LUT (round-4 ADVICE)
+        raise ValueError(
+            f"corpus has only {len(seed_rows)} rows — cannot seed "
+            f"n_codes={n_codes} PQ codes; lower n_codes or grow the "
+            f"corpus")
+    seeds = np.asarray([[float(x) for x in r[emb_col]]
+                        for r in seed_rows], dtype=np.float64)
+    k, dim = seeds.shape
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [seeds[:, s * sub:(s + 1) * sub].copy() for s in range(m)]
+
+
+def pq_seed_codebooks(corpus: DataFrame, *, id_col: str = "vec_id",
+                      emb_col: str = "embedding", m: int = 4,
+                      n_codes: int = 16) -> list:
+    """UNTRAINED PQ codebooks — exactly :func:`pq_train`'s
+    deterministic initialization (first ``n_codes`` vectors by id,
+    contiguous subspace split) with zero Lloyd iterations, in the
+    same ``[(sub, [(code, subvector), ...]), ...]`` structure every
+    PQ consumer takes. Because no iterative training is involved, the
+    codes :func:`pq_encode` assigns from this codebook are pure
+    argmin-squared-L2 over data-derived literals — a SQL engine can
+    recompute them independently, which is what the ``sim_pq_parity``
+    oracle query does (the ``assignment_parity`` pattern: the trained
+    path reuses the identical encode kernel, so parity here transfers
+    to ``pq_train``-produced codebooks)."""
+    cb = _pq_seed_arrays(corpus, id_col, emb_col, m, n_codes)
+    return [(s, [(c, [float(x) for x in cb[s][c]])
+                 for c in range(cb[s].shape[0])])
+            for s in range(m)]
+
+
 def pq_train(corpus: DataFrame, *, id_col: str = "vec_id",
              emb_col: str = "embedding", m: int = 4,
              n_codes: int = 16, n_iters: int = 3) -> list:
@@ -514,24 +560,8 @@ def pq_train(corpus: DataFrame, *, id_col: str = "vec_id",
     from pyspark import TaskContext
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
-    seed_rows = (corpus.orderBy(F.col(id_col)).limit(n_codes)
-                 .select(emb_col).collect())
-    if len(seed_rows) < n_codes:
-        # fail fast like the divisibility check below: a silently
-        # smaller codebook would ripple wrong shapes into every
-        # downstream encode/LUT (round-4 ADVICE)
-        raise ValueError(
-            f"corpus has only {len(seed_rows)} rows — cannot seed "
-            f"n_codes={n_codes} PQ codes; lower n_codes or grow the "
-            f"corpus")
-    seeds = np.asarray([[float(x) for x in r[emb_col]]
-                        for r in seed_rows], dtype=np.float64)
-    k, dim = seeds.shape
-    if dim % m:
-        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
-    sub = dim // m
-    # cb[s] is the (k, sub) codebook of subspace s
-    cb = [seeds[:, s * sub:(s + 1) * sub].copy() for s in range(m)]
+    cb = _pq_seed_arrays(corpus, id_col, emb_col, m, n_codes)
+    k, sub = cb[0].shape
     partial_schema = StructType([
         StructField("sub", LongType()),
         StructField("code", LongType()),

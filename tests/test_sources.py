@@ -140,3 +140,82 @@ def test_write_range_sorted_globally_ordered_files(spark, tmp_path):
     # nothing lost in the rewrite
     back = spark.read.parquet(out)
     assert back.count() == 10_000
+
+
+# --- Iceberg seam (round-4 VERDICT task 7) ---------------------------------
+#
+# The sandbox has no Iceberg runtime jar, so the `format("iceberg")`
+# branch of read_table cannot run for real. These tests inject a fake
+# session (the same pattern as the multimodal codec seam) to pin the
+# dispatch contract: which format is asked for, what is passed to
+# load(), when the parquet fallback engages, and when errors must
+# propagate instead.
+
+
+class _FakeReader:
+    def __init__(self, log, fail_iceberg=False):
+        self._log = log
+        self._fail = fail_iceberg
+        self._fmt = None
+
+    def format(self, fmt):
+        self._fmt = fmt
+        return self
+
+    def load(self, target):
+        self._log.append(("load", self._fmt, target))
+        if self._fail:
+            raise RuntimeError("iceberg runtime not on classpath")
+        return ("df", self._fmt, target)
+
+    def parquet(self, target):
+        self._log.append(("parquet", target))
+        return ("df", "parquet", target)
+
+
+class _FakeSpark:
+    def __init__(self, log, fail_iceberg=False):
+        self._log = log
+        self._fail = fail_iceberg
+
+    @property
+    def read(self):
+        return _FakeReader(self._log, self._fail)
+
+
+def test_read_table_iceberg_dispatch_explicit():
+    log = []
+    out = sources.read_table(_FakeSpark(log), "cat.db.docs",
+                             fmt="iceberg")
+    assert out == ("df", "iceberg", "cat.db.docs")
+    assert log == [("load", "iceberg", "cat.db.docs")]
+
+
+def test_read_table_auto_routes_catalog_names_to_iceberg():
+    # a target that is not a filesystem path must try iceberg first
+    log = []
+    out = sources.read_table(_FakeSpark(log), "cat.db.docs", fmt="auto")
+    assert out == ("df", "iceberg", "cat.db.docs")
+
+
+def test_read_table_auto_falls_back_to_parquet_on_iceberg_error():
+    log = []
+    out = sources.read_table(_FakeSpark(log, fail_iceberg=True),
+                             "cat.db.docs", fmt="auto")
+    assert out == ("df", "parquet", "cat.db.docs")
+    # the iceberg attempt happened BEFORE the fallback
+    assert log[0] == ("load", "iceberg", "cat.db.docs")
+    assert log[1] == ("parquet", "cat.db.docs")
+
+
+def test_read_table_explicit_iceberg_error_propagates():
+    log = []
+    with pytest.raises(RuntimeError, match="classpath"):
+        sources.read_table(_FakeSpark(log, fail_iceberg=True),
+                           "cat.db.docs", fmt="iceberg")
+
+
+def test_read_table_auto_prefers_parquet_for_existing_paths(spark, table):
+    # a real directory never tries iceberg: straight parquet scan
+    df = sources.read_table(spark, table, fmt="auto")
+    assert df.count() == 3000
