@@ -487,6 +487,35 @@ def label_centroids(df: DataFrame, emb_col: str = "embedding",
 # product quantization (PQ) — compressed-domain ANN for 10^12-row tables
 # ---------------------------------------------------------------------------
 
+def recall_at_k(approx: DataFrame, exact: DataFrame, *,
+                query_col: str = "query_id",
+                neighbor_col: str = "neighbor_id") -> DataFrame:
+    """Recall telemetry for the ANN stack: per query,
+    ``|approx ∩ exact| / |exact|`` over (query, neighbor) pairs —
+    ``(query_id, n_exact, n_hit, recall)``. Run any approximate
+    searcher (``ann_topk_bucketed`` / ``ivf_topk`` / ``pq_topk`` /
+    ``ivfpq_topk``) against ``brute_force_topk`` on a sample and
+    aggregate ``avg(recall)`` to catch recall regressions that value
+    hashes cannot (an ANN result can drift to a worse-but-valid
+    neighbor set without any determinism breach). Both inputs are
+    top-k-sized by contract, so every join/agg here is tiny.
+    Regression floors are pytest-pinned (the 50-row oracle budget
+    carries the determinism pins; recall floors are local
+    assertions)."""
+    ex = exact.select(F.col(query_col).alias("__q__"),
+                      F.col(neighbor_col).alias("__n__"))
+    ap = approx.select(F.col(query_col).alias("__q__"),
+                       F.col(neighbor_col).alias("__n__"))
+    hits = (ap.join(ex, ["__q__", "__n__"])
+              .groupBy("__q__").agg(F.count(F.lit(1)).alias("n_hit")))
+    base = ex.groupBy("__q__").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (base.join(hits, "__q__", "left")
+            .select(F.col("__q__").alias(query_col), "n_exact",
+                    F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+                    F.round(F.coalesce(F.col("n_hit"), F.lit(0))
+                            / F.col("n_exact"), 6).alias("recall")))
+
+
 def _pq_seed_arrays(corpus: DataFrame, id_col: str, emb_col: str,
                     m: int, n_codes: int) -> list:
     """Deterministic PQ seed codebooks as a list of ``m`` numpy

@@ -1125,6 +1125,55 @@ def test_bpe_train_incremental_matches_naive_recount(spark):
     assert got["merges"] == merges
 
 
+def test_recall_at_k_arithmetic(spark):
+    # hand case: q1 hits 2/3, q2 hits 0/2 (and is absent from approx)
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        ["query_id", "neighbor_id"])
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99)], ["query_id", "neighbor_id"])
+    got = {r["query_id"]: r for r in
+           similarity.recall_at_k(approx, exact).collect()}
+    assert got[1]["n_exact"] == 3 and got[1]["n_hit"] == 2
+    assert got[1]["recall"] == pytest.approx(round(2 / 3, 6))
+    assert got[2]["n_hit"] == 0 and got[2]["recall"] == 0.0
+
+
+def test_ann_stack_recall_floors(spark):
+    # regression floors for the approximate stack on the real
+    # embeddings fixture — catches recall drift the determinism
+    # oracles cannot (a worse-but-valid neighbor set hashes fine).
+    # Metrics are matched per comparison: the cosine sketch is scored
+    # against exact cosine, and IVF cell-pruning against the
+    # EXHAUSTIVE compressed-domain scan (both ADC), so each floor
+    # isolates exactly one approximation's loss.
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8)
+
+    exact = similarity.brute_force_topk(queries, emb, k=5)
+    ann = similarity.ann_topk_bucketed(queries, emb, k=5, bits=4,
+                                       multiprobe=1)
+    r_ann = similarity.recall_at_k(ann, exact).agg(
+        F.avg("recall")).collect()[0][0]
+    assert r_ann >= 0.5, r_ann  # measured 0.55 at pinning time
+
+    coarse = similarity.kmeans_codebook(emb, n_centroids=8, n_iters=2)
+    pq = similarity.pq_train(emb, m=4, n_codes=16, n_iters=2)
+    idx = similarity.ivfpq_index(emb, coarse_codebook=coarse,
+                                 pq_codebooks=pq)
+    exhaustive = similarity.pq_topk(
+        queries, similarity.pq_encode(emb, pq), pq, k=5)
+    r = {}
+    for nprobe in (1, 4):
+        iv = similarity.ivfpq_topk(queries, idx, coarse_codebook=coarse,
+                                   pq_codebooks=pq, k=5, nprobe=nprobe)
+        r[nprobe] = similarity.recall_at_k(iv, exhaustive).agg(
+            F.avg("recall")).collect()[0][0]
+    assert r[1] >= 0.6, r      # measured 0.725
+    assert r[4] >= 0.8, r      # measured 0.875
+    assert r[4] >= r[1], r     # more probes never lose recall here
+
+
 def test_codebook_training_fails_fast_on_undersized_corpus(spark):
     # round-4 ADVICE: asking for more codes/centroids than the corpus
     # has rows must raise (matching the dim-divisibility check), not
