@@ -39,7 +39,11 @@ BENCH_QUERIES = [
     # round 4: substring-level dedup (window explode + md5 groupBy)
     "dd_spans",
     # round 3 additions: PII scrub + host-cap (regex scan / bounded top-k)
+    # (round 5: txt_redact also carries the folded-in PII signals,
+    # web_hostcap the folded-in URL parse + canonicalization)
     "txt_redact", "web_hostcap",
+    # round 5: the hash-pinned PQ-encode and bigram-LM parity paths
+    "sim_pq_parity", "txt_lm_parity",
 ]
 
 # flagship interleaved-doc count per sf unit (sf0.1 → 1M docs): sized
