@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from sparkjesse import dataset_checks as dc
 from sparkjesse import dedup, sampling, scrub, similarity, textops, timeops
 from sparkjesse import multimodal as mm
-from sparkjesse import urlops
+from sparkjesse import packing, selection, urlops
 from sparkjesse.engine import ValidationEngine
 from sparkjesse.errors import DRAFT3
 
@@ -363,16 +363,12 @@ def _ds_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- text analysis ----------------------------------------------------------
 
-def _txt_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.token_stats(_docs(spark, sf_dir))
-
-
-def _txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.quality_features(_docs(spark, sf_dir))
-
-
-def _txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.language_id(_docs(spark, sf_dir))
+def _txt_docstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_stats + quality_features + language_id on ONE scan
+    (join-free column composition, the kw_* pattern) — each family's
+    columns keep their own hash-pinned verdicts; the standalone
+    operators share these exact expressions (textops.doc_stats)."""
+    return textops.doc_stats(_docs(spark, sf_dir))
 
 
 def _txt_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,8 +462,13 @@ def _dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dd_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.lsh_candidate_pairs(_docs(spark, sf_dir), bands=4,
-                                     rows_per_band=2)
+    """MinHash-LSH candidate pairs WITH the exact n-gram Jaccard
+    verification folded on (the real dedup pipeline: LSH blocks,
+    Jaccard verifies — formerly two queries; min_jaccard=-1 keeps
+    every candidate so the LSH blocking stays fully pinned too)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.lsh_candidate_pairs(docs, bands=4, rows_per_band=2)
+    return dedup.ngram_jaccard_pairs(docs, pairs, min_jaccard=-1.0)
 
 
 def _dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,12 +519,17 @@ def _dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs)
 
 
-def _dd_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs(spark, sf_dir).where(F.col("doc_id") < 40)
-    pairs = (df.alias("a").select(F.col("doc_id").alias("id_a"))
-             .join(df.alias("b").select(F.col("doc_id").alias("id_b")),
-                   F.col("id_a") < F.col("id_b")))
-    return dedup.ngram_jaccard_pairs(df, pairs, min_jaccard=0.0)
+def _dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: deterministic seed
+    codebook (first 8 vectors — the assignment_parity rule, so the
+    SQL twin recomputes it from the data alone), zero-shuffle
+    centroid assignment, per-cluster τ-similar dominance verdict.
+    impl="pairs" here (pure cosine_col folds, exactly the twin's
+    shape); the applyInPandas scale impl is pytest-pinned equal."""
+    embs = _t(spark, sf_dir, "embeddings")
+    cents = selection.seed_centroids(embs, n_centroids=8)
+    return selection.semantic_dedup(embs, cents, threshold=0.30,
+                                    impl="pairs")
 
 
 def _dd_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,6 +721,40 @@ def _txt_lm_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.ngram_lm_score(docs, model, alpha=0.5)
 
 
+def _pack_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-pinned cross-engine parity for sequence packing: greedy
+    next-fit over 8 deterministic streams (doc_id % 8, ascending id)
+    at capacity 64 — the sf0.01 token lengths (10-99) exercise fits,
+    window rollovers AND the oversize-own-window branch. Packing is a
+    sequential fold, so the DuckDB twin is a recursive CTE advancing
+    every stream one document per step with the identical
+    (pack_id, used, started) state machine; any drift in the
+    rollover/oversize transitions breaks the value hash. The
+    applyInPandas impl carries the same state across Arrow batches —
+    layout-invariance is pytest-pinned (test_packing)."""
+    docs = _docs(spark, sf_dir)
+    lens = docs.select("doc_id",
+                       F.size(textops.tokens_col("text"))
+                        .alias("n_tokens"))
+    return packing.pack_sequences(lens, capacity=64, partitions=8)
+
+
+def _sel_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-pinned DSIR machinery: target = English docs, raw = all
+    docs, 256 md5 hash buckets over unigram+bigram features. The
+    integer columns (n_grams, tgt_hits, raw_hits — sums of the bucket
+    counts each document's grams landed in) pin the full hashing +
+    dual-histogram join exactly (integer sums are fold-order-free);
+    ``weight`` (the add-1-smoothed log importance ratio) is recomputed
+    by the twin from the same counts with ln() — float, but rounded
+    at 6 dp against ~1e-13 fold noise. The resampling stage on top is
+    pytest-pinned (Gumbel top-k over these weights)."""
+    docs = _docs(spark, sf_dir)
+    model = selection.dsir_model(docs.where(F.col("lang") == "en"),
+                                 docs, n_buckets=256)
+    return selection.dsir_weights(docs, model)
+
+
 def _kvc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """jesse_json_path parity: dot-path lookup (`path/2` →
     get_json_object) + @count/@sum/@avg/@max/@min aggregates."""
@@ -755,9 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_sample": _ds_sample,
         "ts_sessions": _ts_sessions,
         "ts_asof": _ts_asof,
-        "txt_tokens": _txt_tokens,
-        "txt_quality": _txt_quality,
-        "txt_langid": _txt_langid,
+        "txt_docstats": _txt_docstats,
         "txt_top_tokens": _txt_top_tokens,
         "txt_tfidf": _txt_tfidf,
         "txt_repetition": _txt_repetition,
@@ -777,8 +815,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_spans": _dd_spans,
         "dd_clusters": _dd_clusters,
         "dd_decontaminate": _dd_decontaminate,
-        "dd_jaccard": _dd_jaccard,
         "dd_embed": _dd_embed,
+        "dd_semantic": _dd_semantic,
+        "pack_parity": _pack_parity,
+        "sel_dsir": _sel_dsir,
         "mm_decode": _mm_decode,
         "mm_features": _mm_features,
         "mm_frames": _mm_frames,
@@ -865,6 +905,16 @@ def _hash_bucket_sql(expr: str) -> str:
            f" substr(md5({expr}), {i}, 1)) - 1)")
     return (f"(({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16"
             f" + {nib(4)}) % 10000)")
+
+
+def _nbucket_sql(expr: str, n_buckets: int) -> str:
+    """selection.hashed_grams_col twin: first 4 hex digits of md5 mod
+    ``n_buckets`` (the `_hash_bucket_sql` nibble decode, parameterized
+    modulus)."""
+    nib = (lambda i: f"(strpos('0123456789abcdef',"
+           f" substr(md5({expr}), {i}, 1)) - 1)")
+    return (f"(({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16"
+            f" + {nib(4)}) % {n_buckets})")
 
 
 def _shingles_all_sql(n: int) -> str:
@@ -987,6 +1037,23 @@ FROM bands a JOIN bands b
 def _minhash_sql(bands: int = 4, rows_per_band: int = 2) -> str:
     ctes, sel = _minhash_parts(bands, rows_per_band)
     return f"\nWITH {ctes}\n{sel}\n"
+
+
+def _minhash_jaccard_sql(bands: int = 4, rows_per_band: int = 2) -> str:
+    """LSH candidate pairs + exact 3-gram Jaccard verification — the
+    folded dd_minhash twin (the `s` CTE already carries each doc's
+    distinct shingle set, so verification is two joins back to it)."""
+    ctes, sel = _minhash_parts(bands, rows_per_band)
+    return f"""
+WITH {ctes},
+p AS ({sel})
+SELECT p.id_a, p.id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh)
+                - len(list_intersect(a.sh, b.sh)))::DOUBLE, 4)
+         AS jaccard
+FROM p JOIN s a ON a.doc_id = p.id_a JOIN s b ON b.doc_id = p.id_b
+"""
 
 
 def _clusters_sql(bands: int = 4, rows_per_band: int = 2) -> str:
@@ -1295,42 +1362,36 @@ FROM q, i
 UNION ALL
 SELECT 'user_id', i.prob, round(u.qs[i.i], 6) FROM u, i
 """,
-        "txt_tokens": f"""
-SELECT doc_id, len(toks)::INT AS n_tokens,
-       len(list_distinct(toks))::INT AS n_distinct,
-       round(list_reduce(list_transform(toks, t -> length(t)::BIGINT),
-                         (a, b) -> a + b)::DOUBLE
-             / len(toks)::DOUBLE, 4) AS avg_token_len,
-       list_max(list_transform(toks, t -> length(t)::INT))
-         AS max_token_len
-FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
-""",
-        "txt_quality": f"""
-SELECT doc_id, length(text)::INT AS n_chars, len(toks)::INT AS n_tokens,
-       round(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE, 4)
-         AS distinct_ratio,
-       round(len(list_filter(toks,
-                 t -> list_contains([{stop_list}], t)))::DOUBLE
-             / len(toks)::DOUBLE, 4) AS stopword_ratio,
-       round(0.4 * least(length(text)::DOUBLE / 400.0, 1.0)
-             + 0.4 * (len(list_distinct(toks))::DOUBLE
-                      / len(toks)::DOUBLE)
-             + 0.2 * (1.0 - least(
-                 (len(list_filter(toks,
-                      t -> list_contains([{stop_list}], t)))::DOUBLE
-                  / len(toks)::DOUBLE) * 4.0, 1.0)), 4)
-         AS quality_score
-FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
-""",
-        "txt_langid": f"""
-SELECT doc_id,
+        "txt_docstats": f"""
+SELECT doc_id, n_tokens, n_distinct, avg_token_len, max_token_len,
+       n_chars, distinct_ratio, stopword_ratio, quality_score,
        {', '.join(f's_{lang} AS score_{lang}'
                   for lang in textops.LANG_PRIORITY)},
        {guess_case} AS lang_guess
-FROM (SELECT doc_id,
+FROM (SELECT doc_id, len(toks)::INT AS n_tokens,
+        len(list_distinct(toks))::INT AS n_distinct,
+        round(list_reduce(list_transform(toks, t -> length(t)::BIGINT),
+                          (a, b) -> a + b)::DOUBLE
+              / len(toks)::DOUBLE, 4) AS avg_token_len,
+        list_max(list_transform(toks, t -> length(t)::INT))
+          AS max_token_len,
+        length(text)::INT AS n_chars,
+        round(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE, 4)
+          AS distinct_ratio,
+        round(len(list_filter(toks,
+                  t -> list_contains([{stop_list}], t)))::DOUBLE
+              / len(toks)::DOUBLE, 4) AS stopword_ratio,
+        round(0.4 * least(length(text)::DOUBLE / 400.0, 1.0)
+              + 0.4 * (len(list_distinct(toks))::DOUBLE
+                       / len(toks)::DOUBLE)
+              + 0.2 * (1.0 - least(
+                  (len(list_filter(toks,
+                       t -> list_contains([{stop_list}], t)))::DOUBLE
+                   / len(toks)::DOUBLE) * 4.0, 1.0)), 4)
+          AS quality_score,
         {', '.join(f'{lang_scores[lang]} AS s_{lang}'
                    for lang in textops.LANG_PRIORITY)}
-      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
+      FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents))
 """,
         "txt_top_tokens": f"""
 WITH c AS (SELECT lang, tok AS token, count(*)::BIGINT AS n
@@ -1545,7 +1606,7 @@ SELECT array_to_string(list_slice({_TOKS}, 1, 3), ' ') AS dup_key,
        min(doc_id) AS keep_id, max(doc_id) AS max_id
 FROM documents GROUP BY 1 HAVING count(*) > 1
 """,
-        "dd_minhash": _minhash_sql(4, 2),
+        "dd_minhash": _minhash_jaccard_sql(4, 2),
         "dd_simhash": _simhash_sql(16),
         "dd_simhash_pairs": _simhash_pairs_sql(64, 3),
         "dd_simhash_wide": _simhash_pairs_sql(256, 7),
@@ -1608,19 +1669,92 @@ SELECT 'm' || i AS media_ref, k::INT AS frame_idx,
        (k * 1000)::INT AS offset_ms
 FROM f
 """,
-        "dd_jaccard": f"""
-WITH s AS (SELECT doc_id, {_SHINGLES} AS sh
-           FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
-                 WHERE doc_id < 40)),
-p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.sh AS sh_a, b.sh AS sh_b
-      FROM s a JOIN s b ON a.doc_id < b.doc_id)
-SELECT id_a, id_b,
-       round(len(list_intersect(sh_a, sh_b))::DOUBLE
-             / (len(sh_a) + len(sh_b)
-                - len(list_intersect(sh_a, sh_b)))::DOUBLE, 4) AS jaccard
-FROM p
-WHERE len(list_intersect(sh_a, sh_b)) > 0
+        "dd_semantic": f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+           ORDER BY vec_id LIMIT 8),
+x AS (SELECT e.vec_id, e.embedding, c.cid,
+        {_cosine_sql('e.embedding', 'c.cemb')} AS sim
+      FROM embeddings e CROSS JOIN c),
+r AS (SELECT vec_id, embedding, cid, sim,
+        row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cid ASC) AS rnk
+      FROM x),
+asg AS (SELECT vec_id, embedding, cid AS cell, sim AS cent_sim
+        FROM r WHERE rnk = 1),
+dup AS (SELECT DISTINCT a.vec_id
+        FROM asg a JOIN asg y
+          ON y.cell = a.cell AND y.vec_id <> a.vec_id
+        WHERE {_cosine_sql('a.embedding', 'y.embedding')} >= 0.30
+          AND (y.cent_sim < a.cent_sim
+               OR (y.cent_sim = a.cent_sim AND y.vec_id < a.vec_id)))
+SELECT a.vec_id, a.cell, a.cent_sim,
+       (d.vec_id IS NOT NULL) AS is_dup
+FROM asg a LEFT JOIN dup d ON d.vec_id = a.vec_id
+""",
+        "pack_parity": f"""
+WITH RECURSIVE src AS (
+  SELECT doc_id, len({_TOKS})::BIGINT AS n,
+         (doc_id % 8)::BIGINT AS part,
+         row_number() OVER (PARTITION BY doc_id % 8
+                            ORDER BY doc_id) AS rn
+  FROM documents),
+rec AS (
+  SELECT part, rn, doc_id, n,
+         0::BIGINT AS pack_id, 0::BIGINT AS pack_offset,
+         (CASE WHEN n > 64 THEN 1 ELSE 0 END)::BIGINT AS oversize,
+         (CASE WHEN n > 64 THEN 1 ELSE 0 END)::BIGINT AS st_pid,
+         (CASE WHEN n > 64 THEN 0 ELSE n END)::BIGINT AS st_used,
+         (n <= 64) AS st_started
+  FROM src WHERE rn = 1
+  UNION ALL
+  SELECT s.part, s.rn, s.doc_id, s.n,
+    (CASE WHEN s.n > 64 THEN
+            (CASE WHEN r.st_started THEN r.st_pid + 1 ELSE r.st_pid END)
+          WHEN r.st_started AND r.st_used + s.n > 64 THEN r.st_pid + 1
+          ELSE r.st_pid END)::BIGINT,
+    (CASE WHEN s.n > 64 THEN 0
+          WHEN r.st_started AND r.st_used + s.n > 64 THEN 0
+          ELSE r.st_used END)::BIGINT,
+    (CASE WHEN s.n > 64 THEN 1 ELSE 0 END)::BIGINT,
+    (CASE WHEN s.n > 64 THEN
+            (CASE WHEN r.st_started THEN r.st_pid + 2
+                  ELSE r.st_pid + 1 END)
+          WHEN r.st_started AND r.st_used + s.n > 64 THEN r.st_pid + 1
+          ELSE r.st_pid END)::BIGINT,
+    (CASE WHEN s.n > 64 THEN 0
+          WHEN r.st_started AND r.st_used + s.n > 64 THEN s.n
+          ELSE r.st_used + s.n END)::BIGINT,
+    s.n <= 64
+  FROM src s JOIN rec r ON s.part = r.part AND s.rn = r.rn + 1)
+SELECT doc_id, n AS n_tokens, part AS pack_part, pack_id, pack_offset,
+       oversize
+FROM rec
+""",
+        "sel_dsir": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, unnest(
+        toks || [toks[i] || ' ' || toks[i + 1]
+                 FOR i IN range(1, greatest(len(toks), 1))]) AS gram
+      FROM t),
+gb AS (SELECT doc_id, {_nbucket_sql('gram', 256)} AS bucket FROM g),
+tgt AS (SELECT gb.bucket, count(*)::BIGINT AS n
+        FROM gb JOIN documents d USING (doc_id)
+        WHERE d.lang = 'en' GROUP BY gb.bucket),
+raw AS (SELECT bucket, count(*)::BIGINT AS n FROM gb GROUP BY bucket),
+tot AS (SELECT (SELECT coalesce(sum(n), 0) FROM tgt) AS T,
+               (SELECT coalesce(sum(n), 0) FROM raw) AS R),
+lr AS (SELECT b.range AS bucket,
+         coalesce(t.n, 0)::BIGINT AS tn, coalesce(r.n, 0)::BIGINT AS rn,
+         ln((coalesce(t.n, 0) + 1.0) / (tot.T + 256.0))
+           - ln((coalesce(r.n, 0) + 1.0) / (tot.R + 256.0)) AS logratio
+       FROM range(0, 256) b
+       LEFT JOIN tgt t ON t.bucket = b.range
+       LEFT JOIN raw r ON r.bucket = b.range, tot)
+SELECT gb.doc_id, count(*)::BIGINT AS n_grams,
+       sum(lr.tn)::BIGINT AS tgt_hits, sum(lr.rn)::BIGINT AS raw_hits,
+       round(sum(lr.logratio), 6) AS weight
+FROM gb JOIN lr USING (bucket)
+GROUP BY gb.doc_id
 """,
         "dd_embed": f"""
 WITH e AS (SELECT vec_id, embedding,

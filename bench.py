@@ -31,7 +31,7 @@ from sparkjesse.partitioning import detect_hot_keys  # noqa: E402
 BENCH_QUERIES = [
     "v_summary", "v_violations", "v_span_violations", "kw_draft3",
     "ds_stats", "ds_duplicates", "ds_histogram", "ds_drift",
-    "ds_ks_exact", "txt_quality", "txt_langid", "dd_exact", "dd_minhash",
+    "ds_ks_exact", "txt_docstats", "dd_exact", "dd_minhash",
     "dd_simhash", "dd_simhash_pairs", "dd_simhash_wide", "dd_para",
     "sim_topk", "sim_ann", "kvc_agg",
     # round 3 additions: event-time, corpus, and decontamination ops
@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "txt_redact", "web_hostcap",
     # round 5: the hash-pinned PQ-encode and bigram-LM parity paths
     "sim_pq_parity", "txt_lm_parity",
+    # round 5: data selection (DSIR, SemDeDup) + sequence packing
+    "sel_dsir", "dd_semantic", "pack_parity",
 ]
 
 # flagship interleaved-doc count per sf unit (sf0.1 → 1M docs): sized

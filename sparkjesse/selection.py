@@ -62,7 +62,8 @@ __all__ = [
     "hashed_grams_col", "bucket_counts", "dsir_model",
     "dsir_weight_col", "dsir_weights", "dsir_resample",
     "seed_centroids", "semantic_dedup",
-    "bloom_build", "bloom_contaminated", "perplexity_buckets",
+    "bloom_build", "bloom_probe_col", "bloom_contaminated",
+    "perplexity_buckets",
 ]
 
 
@@ -421,14 +422,15 @@ def bloom_build(benchmark: DataFrame, text_col: str = "text", *,
             "n_set": n_set}
 
 
-def bloom_contaminated(df: DataFrame, bloom: dict,
-                       text_col: str = "text",
-                       id_col: str = "doc_id", *,
-                       min_hits: int = 1) -> DataFrame:
-    """Per-document contamination verdict against a Bloom bitmap:
-    ``(id, n_grams, n_hits, contaminated)`` where a gram "hits" iff
-    all ``n_hashes`` bit positions are set. Zero shuffle — the bitmap
-    rides in the Arrow UDF closure (``n_bits/8`` bytes, fixed)."""
+def bloom_probe_col(bloom: dict,
+                    text_col: Column | str = "text") -> Column:
+    """The Bloom membership probe as a pure COLUMN —
+    ``struct<n_grams, n_hits>`` over ``text_col`` — for callers that
+    filter the corpus in place (``withColumn`` + ``where``, zero
+    shuffle, no join back; the pattern ``tools/pipeline_job.py`` uses
+    for every per-row verdict). A gram "hits" iff all ``n_hashes`` bit
+    positions are set; the bitmap rides in the Arrow UDF closure
+    (``n_bits/8`` bytes, fixed)."""
     n_bits, n_hashes = bloom["n_bits"], bloom["n_hashes"]
     ngram, salt = bloom["ngram"], bloom["salt"]
     packed = np.frombuffer(bloom["bits"], dtype=np.uint8)
@@ -452,7 +454,18 @@ def bloom_contaminated(df: DataFrame, bloom: dict,
             hits.append(h)
         return pd.DataFrame({"n_grams": ngs, "n_hits": hits})
 
-    s = probe(F.col(text_col))
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return probe(c)
+
+
+def bloom_contaminated(df: DataFrame, bloom: dict,
+                       text_col: str = "text",
+                       id_col: str = "doc_id", *,
+                       min_hits: int = 1) -> DataFrame:
+    """Per-document contamination verdict against a Bloom bitmap:
+    ``(id, n_grams, n_hits, contaminated)`` — the standalone-frame
+    wrapper over :func:`bloom_probe_col`; zero shuffle."""
+    s = bloom_probe_col(bloom, text_col)
     return df.select(
         F.col(id_col),
         s.getField("n_grams").alias("n_grams"),

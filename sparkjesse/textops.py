@@ -129,6 +129,55 @@ def language_id(df: DataFrame, text_col: str = "text",
     return out
 
 
+def doc_stats(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """:func:`token_stats` + :func:`quality_features` +
+    :func:`language_id` composed onto ONE scan — the same join-free
+    column composition ``ValidationEngine.validate_multi`` uses for
+    keyword verdicts: Catalyst CSEs the shared token array, so the
+    corpus is read and tokenized once for all three feature families.
+    Column set is the union (minus the duplicated ``n_tokens``)."""
+    toks = tokens_col(text_col)
+    total_len = F.aggregate(toks, F.lit(0).cast("long"),
+                            lambda acc, t: acc + F.length(t))
+    n_tok = F.size(toks).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    stop = F.size(F.filter(
+        toks, lambda t: t.isin(STOPWORDS))).cast("double") / n_tok
+    n_chars = F.length(F.col(text_col)).cast("double")
+    length_term = F.least(n_chars / F.lit(400.0), F.lit(1.0))
+    score = F.round(
+        F.lit(0.4) * length_term + F.lit(0.4) * distinct_ratio
+        + F.lit(0.2) * (F.lit(1.0) - F.least(stop * F.lit(4.0), F.lit(1.0))),
+        4)
+
+    def marker_filter(markers: list[str]):
+        return lambda t: t.isin(markers)
+
+    scores = {lang: F.size(F.filter(toks, marker_filter(m)))
+              for lang, m in LANG_MARKERS.items()}
+    best = scores[LANG_PRIORITY[0]]
+    for lang in LANG_PRIORITY[1:]:
+        best = F.greatest(best, scores[lang])
+    guess = F.lit(LANG_PRIORITY[-1])
+    for lang in reversed(LANG_PRIORITY[:-1]):
+        guess = F.when(scores[lang] == best, F.lit(lang)).otherwise(guess)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(total_len.cast("double") / F.size(toks).cast("double"), 4)
+         .alias("avg_token_len"),
+        F.array_max(F.transform(toks, F.length)).alias("max_token_len"),
+        F.length(text_col).alias("n_chars"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(stop, 4).alias("stopword_ratio"),
+        score.alias("quality_score"),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_PRIORITY],
+        guess.alias("lang_guess"),
+    )
+
+
 def top_tokens(df: DataFrame, text_col: str = "text", *, k: int = 20,
                by: str | None = None) -> DataFrame:
     """Corpus heavy hitters: the ``k`` most frequent tokens, globally

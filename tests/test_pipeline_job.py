@@ -197,3 +197,52 @@ def test_pipeline_job_bpe_stage(spark, tmp_path, monkeypatch):
     assert final.where(F.size("bpe_ids") > 0).count() == stats["written"]
     merges = spark.read.parquet(out + "/bpe_merges")
     assert merges.count() == stats["bpe_merges"]
+
+
+def test_pipeline_job_selection_stages(spark, tmp_path, monkeypatch):
+    """--decontaminate-mode bloom + --dsir-target/--dsir-keep +
+    --semdedup: the bloom verdict is a superset-drop of the exact one
+    (no false negatives), DSIR shrinks the corpus to ~the requested
+    fraction, and SemDeDup prunes embedding near-dups when the input
+    carries an embedding column."""
+    sys.path.insert(0, "/root/repo/tools")
+    import pipeline_job
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out_sel")
+    bench = str(tmp_path / "bench_sel")
+    tgt = str(tmp_path / "tgt_sel")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    embs = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    # join an embedding column on (doc ids and vec ids align 0..N)
+    (docs.join(embs.select(F.col("vec_id").alias("doc_id"),
+                           "embedding"), "doc_id")
+         .write.parquet(src))
+    docs.where(F.col("doc_id") % 97 == 0).select("text") \
+        .write.parquet(bench)
+    docs.where(F.col("lang") == "en").write.parquet(tgt)
+
+    monkeypatch.setattr(sys, "argv", [
+        "pipeline_job.py", "--input", src, "--output", out,
+        "--benchmark", bench, "--decontaminate-mode", "bloom",
+        "--dsir-target", tgt, "--dsir-keep", "0.6",
+        "--semdedup", "4", "--semdedup-threshold", "0.3",
+        "--vocab-size", "16", "--partitions", "4", "--no-redact",
+    ])
+    pipeline_job.main()
+
+    with open(out + "_stats.json", encoding="utf-8") as fh:
+        stats = json.load(fh)
+    assert stats["after_decontaminate"] <= stats["after_near_dedup"]
+    assert stats["after_dsir"] <= stats["after_decontaminate"]
+    # DSIR keeps roughly the requested fraction (approx percentile cut)
+    assert (0.4 * stats["after_decontaminate"]
+            <= stats["after_dsir"]
+            <= 0.8 * stats["after_decontaminate"] + 2)
+    assert stats["after_semdedup"] <= stats["after_dsir"]
+    # threshold 0.3 at 4 clusters prunes something on this fixture
+    assert stats["after_semdedup"] < stats["after_dsir"]
+    assert stats["written"] == stats["after_semdedup"]
+    assert spark.read.parquet(out + "/docs").count() == stats["written"]

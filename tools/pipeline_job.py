@@ -17,11 +17,22 @@ The standard LLM data-prep chain, every stage a sparkjesse operator:
   4.5. (opt-in, ``--span-dedup N``) substring-level dedup
      (``dedup.remove_duplicate_spans``) — repeated N-token spans are
      removed keeping one canonical copy, then lineage is checkpointed;
-  5. benchmark decontamination (``dedup.decontaminate_report``,
-     broadcast n-gram overlap) when ``--benchmark`` is given;
+  5. benchmark decontamination when ``--benchmark`` is given: exact
+     broadcast n-gram overlap (``dedup.decontaminate_report``) or,
+     with ``--decontaminate-mode bloom``, a fixed-memory Bloom-bitmap
+     verdict column (``selection.bloom_build``/``bloom_probe_col``)
+     for benchmark suites too large to broadcast;
+  5.2. (opt-in, ``--dsir-target PATH --dsir-keep F``) DSIR importance
+     resampling toward a trusted target corpus
+     (``selection.dsir_model``/``dsir_resample``) — zero-shuffle
+     scoring, Gumbel-top-k cut;
   5.5. (opt-in, ``--lm-keep Q``) CCNet-style perplexity head cut
      (``textops.ngram_lm_train``/``ngram_lm_score``) — keep the
      most-natural Q quantile under a corpus-trained bigram LM;
+  5.7. (opt-in, ``--semdedup K``) SemDeDup semantic near-dup pruning
+     (``selection.semantic_dedup`` over a
+     ``similarity.kmeans_codebook``) when the input carries an
+     ``embedding`` column;
   6. PII redaction (``scrub.redact_pii``) with an aggregate redaction
      count in the stats ledger — after dedup (identical PII spans must
      not be hidden from the dedup keys), before anything is written;
@@ -77,6 +88,27 @@ def main() -> None:
                          "keep only docs whose perplexity is within "
                          "the Q quantile (CCNet-style head cut) — "
                          "textops.ngram_lm_train/ngram_lm_score")
+    ap.add_argument("--decontaminate-mode", default="exact",
+                    choices=["exact", "bloom"],
+                    help="'exact' broadcasts the benchmark n-gram set "
+                         "(dedup.decontaminate_report); 'bloom' folds "
+                         "it into a fixed-size bitmap "
+                         "(selection.bloom_build) — for benchmark "
+                         "suites too large to broadcast exactly; "
+                         "false positives drop extra docs, never the "
+                         "other way")
+    ap.add_argument("--dsir-target", default=None, metavar="PATH",
+                    help="parquet path of a trusted target corpus; "
+                         "with --dsir-keep, importance-resample the "
+                         "corpus toward it (selection.dsir_*)")
+    ap.add_argument("--dsir-keep", type=float, default=0.0, metavar="F",
+                    help="fraction kept by DSIR Gumbel top-k "
+                         "resampling (requires --dsir-target)")
+    ap.add_argument("--semdedup", type=int, default=0, metavar="K",
+                    help="opt-in SemDeDup with a K-cluster k-means "
+                         "codebook (requires an 'embedding' column "
+                         "in the input)")
+    ap.add_argument("--semdedup-threshold", type=float, default=0.95)
     ap.add_argument("--order", default="range",
                     help="'range' (default: doc_id-sorted, zone-map-"
                          "prunable) or 'epoch:N' (deterministic "
@@ -87,7 +119,8 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from sparkjesse import dedup, sampling, scrub, sources, textops, urlops
+    from sparkjesse import (dedup, sampling, scrub, selection, sources,
+                            textops, urlops)
 
     spark = SparkSession.builder.appName("sparkjesse-pipeline") \
         .getOrCreate()
@@ -156,13 +189,36 @@ def main() -> None:
         # boundary is a storage write anyway.
         docs = docs.drop("n_tokens_removed").localCheckpoint(eager=False)
 
-    # 5. decontamination against the benchmark/eval set
+    # 5. decontamination against the benchmark/eval set: exact
+    # broadcast n-gram overlap, or (for benchmark suites too large to
+    # broadcast) a fixed-size Bloom bitmap whose verdict is a pure
+    # column — withColumn + where, zero corpus shuffle, no false
+    # negatives (extra Bloom drops are the documented FP cost)
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
-        contaminated = dedup.decontaminate_report(docs, bench) \
-            .select("doc_id")
-        docs = docs.join(contaminated, "doc_id", "left_anti")
+        if args.decontaminate_mode == "bloom":
+            bloom = selection.bloom_build(bench, ngram=3)
+            hits = selection.bloom_probe_col(bloom).getField("n_hits")
+            docs = (docs.withColumn("__bloom_hits__", hits)
+                        .where(F.col("__bloom_hits__") == 0)
+                        .drop("__bloom_hits__"))
+        else:
+            contaminated = dedup.decontaminate_report(docs, bench) \
+                .select("doc_id")
+            docs = docs.join(contaminated, "doc_id", "left_anti")
         stats["after_decontaminate"] = docs.count()
+
+    # 5.2 DSIR importance resampling toward a trusted target corpus:
+    # both corpora reduce to n_buckets hashed-gram histograms (tiny
+    # map-side-combined aggregations), scoring is a zero-shuffle
+    # Arrow-UDF map, and the Gumbel-top-k cut is one approx-percentile
+    # aggregate + a filter — the corpus never joins or shuffles
+    if args.dsir_target and 0.0 < args.dsir_keep < 1.0:
+        target = spark.read.parquet(args.dsir_target)
+        dsir = selection.dsir_model(target, docs)
+        docs = selection.dsir_resample(docs, dsir, args.dsir_keep,
+                                       exact=False)
+        stats["after_dsir"] = docs.count()
 
     # 5.5 LM perplexity cut (CCNet head): train on the deduped corpus
     # itself, score zero-shuffle, keep the most-natural Q quantile.
@@ -182,6 +238,22 @@ def main() -> None:
                     .drop("__lm_ppl__"))
         stats["lm_ppl_cut"] = float(cut)
         stats["after_lm_cut"] = docs.count()
+
+    # 5.7 (opt-in) SemDeDup: semantic near-dup pruning over a trained
+    # k-means codebook — assignment is a zero-shuffle broadcast-
+    # codebook map, the pairwise check shuffles once on the cluster
+    # id, and survivors anti-join the dup-id set (same shape as the
+    # SimHash stage-4 drop; AQE broadcasts it when small)
+    if args.semdedup > 0 and "embedding" in docs.columns:
+        from sparkjesse import similarity
+        cb = similarity.kmeans_codebook(
+            docs, id_col="doc_id", n_centroids=args.semdedup)
+        verdict = selection.semantic_dedup(
+            docs, cb, id_col="doc_id",
+            threshold=args.semdedup_threshold)
+        sem_drop = verdict.where(F.col("is_dup")).select("doc_id")
+        docs = docs.join(sem_drop, "doc_id", "left_anti")
+        stats["after_semdedup"] = docs.count()
 
     # 6. PII redaction — after dedup (identical spans stay visible to
     # the dedup keys), before anything leaves the pipeline
