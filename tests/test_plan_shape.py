@@ -282,3 +282,34 @@ def test_lm_score_and_bpe_encode_zero_shuffle(spark):
     plan = _plan(textops.bpe_encode(docs, bpe))
     assert "Exchange" not in plan, plan[:2000]
     assert "ArrowEvalPython" in plan, plan[:2000]
+
+
+def test_doc_stats_zero_shuffle_single_scan(spark):
+    """The composed txt_docstats operator (token + quality + lang-ID
+    features on one frame) is a pure projection: no Exchange, no
+    Python eval, and exactly ONE parquet scan — the fold's whole
+    point (three per-doc feature families for one corpus read)."""
+    from sparkjesse import textops
+    docs = spark.read.parquet(DOCS)
+    plan = _plan(textops.doc_stats(docs))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Python" not in plan, plan[:2000]
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+
+
+def test_doc_stats_equals_component_operators(spark):
+    """doc_stats must stay column-for-column identical to the three
+    standalone operators it composes (they share expression builders;
+    this pins the contract if either side drifts)."""
+    from sparkjesse import textops
+    docs = spark.read.parquet(DOCS).limit(80)
+    composed = {r["doc_id"]: r.asDict()
+                for r in textops.doc_stats(docs).collect()}
+    for part in (textops.token_stats(docs),
+                 textops.quality_features(docs),
+                 textops.language_id(docs)):
+        for r in part.collect():
+            d = r.asDict()
+            comp = composed[d.pop("doc_id")]
+            for k, v in d.items():
+                assert comp[k] == v, (k, v, comp[k])
