@@ -275,11 +275,47 @@ def _assign_cols(centroids: list, emb_col: str) -> tuple[Column, Column]:
             -best.getField("negsim"))
 
 
+# expression trees grow linearly with the codebook; past this the
+# broadcast-matrix UDF wins (same crossover similarity.py uses for
+# the IVF coarse quantizer)
+_LITERAL_ASSIGN_MAX = 64
+
+
+def _assign_udf_cols(centroids: list, emb_col: str):
+    """Large-codebook twin of :func:`_assign_cols`: one Arrow-batched
+    matmul against the broadcast centroid matrix (the
+    ``similarity._nearest_cells_udf`` pattern, extended to return the
+    similarity too). Tiebreak identity with the literal path: cosines
+    round to 6 dp BEFORE the argmax, and ``np.argmax`` returns the
+    FIRST maximum — centroids are sorted by cent_id, so ties resolve
+    to the smaller id exactly like the (negsim, cent_id) struct sort
+    (pytest-pinned equal on both paths)."""
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    mat = np.array([v for _, v in centroids], dtype=np.float64)
+    mat_n = mat / np.maximum(
+        np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+
+    @F.pandas_udf("struct<cell:long, cent_sim:double>")
+    def assign(embs: pd.Series) -> pd.DataFrame:
+        E = np.array([np.asarray(e, dtype=np.float64) for e in embs])
+        En = E / np.maximum(
+            np.linalg.norm(E, axis=1, keepdims=True), 1e-300)
+        sims = np.round(En @ mat_n.T, 6)
+        best = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {"cell": cids[best],
+             "cent_sim": sims[np.arange(len(best)), best]})
+
+    s = assign(F.col(emb_col))
+    return s.getField("cell"), s.getField("cent_sim")
+
+
 def semantic_dedup(df: DataFrame, centroids: list, *,
                    id_col: str = "vec_id",
                    emb_col: str = "embedding",
                    threshold: float = 0.95,
-                   impl: str = "grouped") -> DataFrame:
+                   impl: str = "grouped",
+                   assign: str = "auto") -> DataFrame:
     """SemDeDup (Abbas et al. 2023): flag semantically redundant
     embeddings. Each vector is assigned to its nearest centroid
     (zero-shuffle broadcast-codebook expression); within a cluster, a
@@ -298,10 +334,26 @@ def semantic_dedup(df: DataFrame, centroids: list, *,
     ~2k-vector clusters). ``impl="pairs"``: the same verdict as a
     cluster-keyed self-join of pure column expressions — more
     shuffle-hungry but every operation is engine-portable (the
-    ``dd_semantic`` oracle's path; pytest pins both impls equal)."""
+    ``dd_semantic`` oracle's path; pytest pins both impls equal).
+
+    ``assign`` picks the centroid-assignment kernel: ``"literal"``
+    (expression tree, engine-portable) for small codebooks,
+    ``"udf"`` (broadcast-matrix Arrow matmul) for the 50k-cluster
+    production codebooks where a literal tree would explode the plan;
+    ``"auto"`` (default) crosses over at ``_LITERAL_ASSIGN_MAX`` (64)
+    centroids. Both kernels round to 6 dp before the argmax and
+    tiebreak to the smaller centroid id (pytest-pinned equal)."""
     if impl not in ("grouped", "pairs"):
         raise ValueError(f"unknown impl: {impl!r}")
-    cell, cent_sim = _assign_cols(centroids, emb_col)
+    if assign == "auto":
+        assign = ("literal" if len(centroids) <= _LITERAL_ASSIGN_MAX
+                  else "udf")
+    if assign == "literal":
+        cell, cent_sim = _assign_cols(centroids, emb_col)
+    elif assign == "udf":
+        cell, cent_sim = _assign_udf_cols(centroids, emb_col)
+    else:
+        raise ValueError(f"unknown assign: {assign!r}")
     assigned = df.select(
         F.col(id_col).alias("id"),
         F.col(emb_col).alias("emb"),

@@ -192,6 +192,23 @@ def test_semantic_dedup_keeps_farthest_from_centroid(spark, embs):
                 assert not r["is_dup"]
 
 
+def test_semantic_dedup_assignment_kernels_agree(spark, embs):
+    """literal-expression vs broadcast-matrix-UDF centroid assignment
+    must agree cell-for-cell and sim-for-sim (the udf path is what a
+    50k-cluster production codebook uses; the literal path is what
+    the dd_semantic oracle pins)."""
+    cents = sel.seed_centroids(embs, n_centroids=8)
+    lit = sel.semantic_dedup(embs, cents, threshold=0.8,
+                             assign="literal")
+    udf = sel.semantic_dedup(embs, cents, threshold=0.8,
+                             assign="udf")
+    rows_l = sorted((r["vec_id"], r["cell"], round(r["cent_sim"], 6),
+                     r["is_dup"]) for r in lit.collect())
+    rows_u = sorted((r["vec_id"], r["cell"], round(r["cent_sim"], 6),
+                     r["is_dup"]) for r in udf.collect())
+    assert rows_l == rows_u
+
+
 def test_seed_centroids_fail_fast(spark, embs):
     with pytest.raises(ValueError):
         sel.seed_centroids(embs.limit(3), n_centroids=8)

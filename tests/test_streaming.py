@@ -199,3 +199,54 @@ def test_sessionize_stream_groups_by_gap(spark, tmp_path):
         q.stop()
     got = [(r["uid"], r["n_events"], r["total_value"]) for r in rows]
     assert got == [(1, 2, 3.0), (1, 1, 4.0), (2, 1, 8.0)]
+
+
+def test_stream_selection_verdict_columns(spark, tmp_path):
+    """The zero-shuffle corpus verdicts (quality filter, LM score,
+    Bloom probe, DSIR weight) are pure column maps, so they run
+    UNCHANGED on a stream — the payoff of the no-join-back design:
+    the same curation expressions serve batch backfills and live
+    ingestion. Batch results on the same rows are the oracle."""
+    from sparkjesse import selection, textops
+
+    rows = [(i, ("the quick brown fox jumps over the lazy dog num"
+                 f" word{i} " * 3).strip()) for i in range(30)]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "sel_in")
+    batch.write.mode("overwrite").json(src)
+
+    model = textops.ngram_lm_train(batch, min_count=1)
+    dsir = selection.dsir_model(
+        batch.where(F.col("doc_id") % 2 == 0), batch, n_buckets=64)
+    bloom = selection.bloom_build(
+        batch.where(F.col("doc_id") == 0).select("text"),
+        ngram=3, n_bits=1 << 12, n_hashes=2)
+
+    def verdicts(df):
+        keep_c, reasons_c = textops.quality_cols()
+        return df.select(
+            "doc_id",
+            F.size(reasons_c).alias("n_reasons"),
+            textops.lm_score_col(model).getField("ppl").alias("ppl"),
+            selection.bloom_probe_col(bloom).getField("n_hits")
+            .alias("bloom_hits"),
+            selection.dsir_weight_col(dsir).getField("weight")
+            .alias("dsir_w"))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .json(src))
+    q = (verdicts(stream).writeStream.format("memory")
+         .queryName("sel_stream_t").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sel_ck"))
+         .start())
+    try:
+        _drain(q)
+        got = {r["doc_id"]: r for r in
+               spark.sql("SELECT * FROM sel_stream_t").collect()}
+    finally:
+        q.stop()
+    want = {r["doc_id"]: r for r in verdicts(batch).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        for c in ("n_reasons", "ppl", "bloom_hits", "dsir_w"):
+            assert got[k][c] == want[k][c], (k, c)
