@@ -407,8 +407,16 @@ def _txt_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _txt_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked vocabulary with deterministic id assignment
-    (count desc, token asc); hapax pruning before the rank."""
-    return textops.build_vocab(_docs(spark, sf_dir), min_count=2)
+    (count desc, token asc); hapax pruning before the rank — PLUS a
+    ``bpe`` column: each vocab token's greedy BPE segmentation under
+    the frozen ``_BPE_MERGES`` literal (``textops.bpe_segment``).
+    The oracle replays the greedy rule as a recursive CTE, so the
+    lowest-rank/leftmost inference semantics of ``bpe_encode`` are
+    hash-pinned cross-engine (the kw_*-style column fold: one extra
+    verdict column, no extra query slot)."""
+    return textops.bpe_segment(
+        textops.build_vocab(_docs(spark, sf_dir), min_count=2),
+        _BPE_MERGES, word_col="token")
 
 
 def _txt_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -845,6 +853,21 @@ _VALID_EXPR = (
 )
 
 _TOKS = "string_split(text, ' ')"
+
+# Fixed BPE merge list for the txt_vocab parity column: the first 12
+# merges bpe_train derives from the sf0.01 corpus (deterministic —
+# count desc, pair-asc tiebreak), frozen as a literal so BOTH engines
+# replay the same greedy inference rule from the same ranks. The
+# operator under test is bpe_segment/bpe_encode's GREEDY ENCODER
+# (training is pinned by tests/test_bpe.py's classic examples).
+_BPE_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+]
+# rank map literal for the DuckDB twin ('a|b' -> rank)
+_BPE_MAP = "MAP {" + ", ".join(
+    f"'{a}|{b}': {i}" for i, (a, b) in enumerate(_BPE_MERGES)) + "}"
 
 # scrub / url twins — patterns restricted to the Java∩RE2∩PCRE-identical
 # subset (see sparkjesse.scrub docstring)
@@ -1460,14 +1483,46 @@ SELECT token, df,
 FROM k WHERE rn <= 20 GROUP BY token, df
 """,
         "txt_vocab": f"""
-WITH c AS (SELECT tok AS token, count(*)::BIGINT AS count
-           FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
-           GROUP BY 1 HAVING count(*) >= 2)
-SELECT token,
-       (row_number() OVER (ORDER BY count DESC, token ASC) - 1)::BIGINT
+WITH RECURSIVE
+c AS (SELECT tok AS token, count(*)::BIGINT AS count
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY 1 HAVING count(*) >= 2),
+-- greedy BPE replay: per step, the applicable merge with the lowest
+-- (rank, position) — encoded as rank*10000 + position so list_min is
+-- the argmin — is applied; terminal rows are those where no adjacent
+-- pair is in the merge map
+seg(token, syms) AS (
+  SELECT token, list_append(string_split(token, ''), '</w>')
+  FROM c
+  UNION ALL
+  SELECT token,
+    list_concat(
+      CASE WHEN (best % 10000) > 1
+           THEN syms[1:(best % 10000)::INT - 1] ELSE [] END,
+      list_concat(
+        [syms[(best % 10000)::INT] || syms[(best % 10000)::INT + 1]],
+        syms[(best % 10000)::INT + 2 :]))
+  FROM (
+    SELECT token, syms,
+      list_min(list_transform(range(1, len(syms)),
+        i -> CASE WHEN ({_BPE_MAP})[syms[i::INT] || '|' || syms[i::INT + 1]] <> []
+             THEN ({_BPE_MAP})[syms[i::INT] || '|' || syms[i::INT + 1]][1]
+                  * 10000 + i
+             ELSE NULL END)) AS best
+    FROM seg)
+  WHERE best IS NOT NULL),
+term AS (
+  SELECT token, array_to_string(syms, ' ') AS bpe
+  FROM seg s
+  WHERE list_min(list_transform(range(1, len(s.syms)),
+    i -> CASE WHEN ({_BPE_MAP})[s.syms[i::INT] || '|' || s.syms[i::INT + 1]] <> []
+         THEN 1 ELSE NULL END)) IS NULL)
+SELECT c.token,
+       (row_number() OVER (ORDER BY count DESC, c.token ASC) - 1)::BIGINT
          AS token_id,
-       count
-FROM c
+       count,
+       term.bpe
+FROM c JOIN term ON c.token = term.token
 """,
         "txt_encode": f"""
 WITH c AS (SELECT tok AS token, count(*)::BIGINT AS count

@@ -772,6 +772,56 @@ def bpe_train(df: DataFrame, text_col: str = "text", *,
     return {"merges": merges, "vocab": vocab}
 
 
+def _greedy_segment(word: str, ranks: dict) -> list:
+    """Greedy BPE inference over one word (the exact Sennrich rule):
+    start from characters + ``</w>``, repeatedly apply the
+    lowest-RANK applicable merge, leftmost occurrence first on rank
+    ties, until no merge applies. Shared by :func:`bpe_encode` (id
+    output) and :func:`bpe_segment` (symbol output) so the two paths
+    cannot drift."""
+    sym = list(word) + ["</w>"]
+    while len(sym) > 1:
+        cand = [(ranks[(a, b)], i) for i, (a, b) in
+                enumerate(zip(sym, sym[1:])) if (a, b) in ranks]
+        if not cand:
+            break
+        _, i = min(cand)
+        sym[i:i + 2] = [sym[i] + sym[i + 1]]
+    return sym
+
+
+def bpe_segment(df: DataFrame, merges: list,
+                word_col: str = "token", *,
+                out_col: str = "bpe") -> DataFrame:
+    """Greedy BPE segmentation of a WORD column as space-joined
+    symbols — the tokenizer-debugging view of :func:`bpe_encode`
+    (what did this word split into?), and the cross-engine parity
+    surface: unlike vocab ids, the symbol string is recomputable by
+    any engine from the merge list alone, so a SQL twin can replay
+    the greedy rule exactly (the ``txt_vocab`` oracle does, as a
+    recursive CTE). Zero shuffle: merge ranks ride in an
+    Arrow-batched pandas UDF closure (≤ n_merges entries);
+    column-preserving via ``withColumn``."""
+    import pandas as pd
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @F.pandas_udf("string")
+    def seg(words: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for w in words:
+            if w is None:
+                out.append(None)
+                continue
+            if w not in cache:
+                cache[w] = " ".join(_greedy_segment(w, ranks))
+            out.append(cache[w])
+        return pd.Series(out)
+
+    return df.withColumn(out_col, seg(F.col(word_col)))
+
+
 def bpe_encode(df: DataFrame, model: dict, text_col: str = "text", *,
                out_col: str = "bpe_ids") -> DataFrame:
     """Encode documents with a trained BPE model: per word, greedy
@@ -788,16 +838,8 @@ def bpe_encode(df: DataFrame, model: dict, text_col: str = "text", *,
     ranks = {p: i for i, p in enumerate(model["merges"])}
     vocab = model["vocab"]
 
-    def _word(sym):
-        sym = list(sym) + ["</w>"]
-        while len(sym) > 1:
-            cand = [(ranks[(a, b)], i) for i, (a, b) in
-                    enumerate(zip(sym, sym[1:])) if (a, b) in ranks]
-            if not cand:
-                break
-            _, i = min(cand)
-            sym[i:i + 2] = [sym[i] + sym[i + 1]]
-        return sym
+    def _word(w):
+        return _greedy_segment(w, ranks)
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def encode(texts: pd.Series) -> pd.Series:

@@ -1272,3 +1272,37 @@ def test_bpe_encode_greedy_and_oov(spark):
     # unseen characters -> -1, never a crash
     assert all(i == -1 or inv[i] in ("z", "</w>", "zzz</w>")
                for i in got[2])
+
+
+def test_bpe_segment_matches_encode_and_handles_nulls(spark):
+    """bpe_segment (symbol output) and bpe_encode (id output) share
+    _greedy_segment, so per word the joined symbols must equal the
+    id sequence mapped back through the vocab; null words pass
+    through as null."""
+    train = spark.createDataFrame(
+        [(i, "hello hello hello world world") for i in range(4)],
+        ["doc_id", "text"])
+    m = textops.bpe_train(train, n_merges=50, min_count=1)
+    inv = {v: k for k, v in m["vocab"].items()}
+    words = spark.createDataFrame(
+        [("hello",), ("world",), ("held",), (None,)],
+        "token string")
+    seg = {r["token"]: r["bpe"] for r in
+           textops.bpe_segment(words, m["merges"]).collect()}
+    assert seg[None] is None
+    for w in ("hello", "world", "held"):
+        ids = {r["doc_id"]: r["bpe_ids"] for r in textops.bpe_encode(
+            spark.createDataFrame([(1, w)], ["doc_id", "text"]),
+            m).collect()}[1]
+        assert seg[w].split(" ") == [inv.get(i, "?") for i in ids]
+
+
+def test_bpe_segment_greedy_rank_order(spark):
+    """The greedy rule applies the LOWEST-RANK merge first (not
+    leftmost-first): with ranks [('b','c'), ('a','b')], 'abc' must
+    become [a, bc</w>-ish], never [ab, c]."""
+    words = spark.createDataFrame([("abc",), ("ab",)], "token string")
+    seg = {r["token"]: r["bpe"] for r in textops.bpe_segment(
+        words, [("b", "c"), ("a", "b")]).collect()}
+    assert seg["abc"] == "a bc </w>"
+    assert seg["ab"] == "ab </w>"
