@@ -663,10 +663,18 @@ def _sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probed ANN: 8-bit sign buckets, query probes its own +
     every Hamming-1 bucket (9 of 256) — finer pruning than bits=4
-    without single-probe recall collapse."""
+    without single-probe recall collapse. Each neighbor row also
+    carries the query's ``recall_at_k`` telemetry against
+    ``brute_force_topk`` (n_exact/n_hit/recall) — the round-5 column
+    fold that hash-pins the recall OPERATOR cross-engine, not just a
+    pytest floor: the oracle recomputes exact top-k and the
+    intersection from the data alone."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ann_topk_bucketed(emb.where(F.col("vec_id") < 8), emb,
-                                        k=3, bits=8, multiprobe=1)
+    q = emb.where(F.col("vec_id") < 8)
+    ann = similarity.ann_topk_bucketed(q, emb, k=3, bits=8, multiprobe=1)
+    exact = similarity.brute_force_topk(q, emb, k=3)
+    rec = similarity.recall_at_k(ann, exact)
+    return ann.join(F.broadcast(rec), "query_id")
 
 
 # -- KVC path / aggregate mini-language (SURVEY.md §2.3) --------------------
@@ -1851,9 +1859,30 @@ scored AS (SELECT p.vec_id AS query_id, e.vec_id AS neighbor_id,
            FROM probes p JOIN b e ON p.bucket = e.bucket
            WHERE p.vec_id <> e.vec_id),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-        ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored)
-SELECT query_id, neighbor_id, cosine, rk::INT AS rank
-FROM r WHERE rk <= 3
+        ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored),
+ann AS (SELECT query_id, neighbor_id, cosine, rk::INT AS rank
+        FROM r WHERE rk <= 3),
+-- exact top-k (brute force over the whole corpus) and per-query
+-- recall of the bucketed ANN against it
+ex_scored AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                round({_cosine_sql('q.embedding', 'e.embedding')}, 6)
+                  AS cosine
+              FROM q JOIN b e ON q.vec_id <> e.vec_id),
+ex AS (SELECT query_id, neighbor_id FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id ASC) AS rk
+         FROM ex_scored) WHERE rk <= 3),
+rec AS (SELECT ex.query_id,
+          count(*)::BIGINT AS n_exact,
+          count(ann.neighbor_id)::BIGINT AS n_hit,
+          round(count(ann.neighbor_id)::DOUBLE / count(*), 6) AS recall
+        FROM ex LEFT JOIN ann
+          ON ex.query_id = ann.query_id
+         AND ex.neighbor_id = ann.neighbor_id
+        GROUP BY ex.query_id)
+SELECT ann.query_id, ann.neighbor_id, ann.cosine, ann.rank,
+       rec.n_exact, rec.n_hit, rec.recall
+FROM ann JOIN rec ON ann.query_id = rec.query_id
 """,
         "sim_ivf": f"""
 WITH c AS (SELECT vec_id AS cent_id, embedding AS cemb
