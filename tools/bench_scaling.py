@@ -34,7 +34,7 @@ region.
 
 Writes BENCH_SCALING.json at the repo root and prints it.
 
-Usage: python tools/bench_scaling.py [n_docs] [N] [4N] [trials]
+Usage: python tools/bench_scaling.py [n_docs] [N] [4N] [trials] [out.json]
 """
 
 from __future__ import annotations
@@ -303,6 +303,7 @@ def main() -> None:
     n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n4_cores = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * n_cores
     trials = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+    out_name = sys.argv[5] if len(sys.argv) > 5 else "BENCH_SCALING.json"
     path = f"/tmp/sparkjesse_scale_docs_{n_docs}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         code = GEN_TEMPLATE.format(repo=REPO, n_docs=n_docs, path=path)
@@ -367,7 +368,7 @@ def main() -> None:
             },
         },
     }
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as fh:
+    with open(os.path.join(REPO, out_name), "w") as fh:
         json.dump(result, fh, indent=2)
     print(json.dumps(result))
 
