@@ -93,10 +93,13 @@ def hashed_grams_col(text_col: Column | str = "text", *,
     if not 1 <= n_buckets <= 65536:
         raise ValueError("n_buckets must be in [1, 65536]")
     toks = tokens_col(text_col)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i),
-                              F.element_at(toks, i + 1)))
+    # adjacent pairs via two shifted slices; n_pairs = size-1 clamped
+    # to 0 so single-token docs yield [] (a descending sequence(1, 0)
+    # here once made element_at(toks, 2) throw on 1-token docs)
+    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n_pairs), F.slice(toks, 2, n_pairs),
+        lambda a, b: F.concat_ws(" ", a, b))
     grams = (F.concat(toks, bigrams) if include_unigrams else bigrams)
     return F.transform(grams,
                        lambda g: _bucket_expr(g, n_buckets, salt))
@@ -104,14 +107,51 @@ def hashed_grams_col(text_col: Column | str = "text", *,
 
 def bucket_counts(df: DataFrame, text_col: str = "text", *,
                   n_buckets: int = 8192, salt: str = "",
-                  include_unigrams: bool = True) -> DataFrame:
+                  include_unigrams: bool = True,
+                  impl: str = "arrow") -> DataFrame:
     """Hashed-gram bucket histogram ``(bucket, n)`` for a corpus — the
     sufficient statistic DSIR needs from each side. ONE shuffle,
-    map-side combined, ≤ ``n_buckets`` result rows."""
-    grams = hashed_grams_col(text_col, n_buckets=n_buckets, salt=salt,
-                             include_unigrams=include_unigrams)
-    return (df.select(F.explode(grams).alias("bucket"))
-              .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+    map-side combined, ≤ ``n_buckets`` result rows.
+
+    ``impl="arrow"`` (default, the scale path): each partition folds
+    its grams into a dense ``n_buckets`` int64 histogram inside ONE
+    ``mapInPandas`` pass and emits only its nonzero rows — shuffle
+    volume ≤ ``n_buckets`` rows per partition, no per-gram rows ever
+    materialize. ``impl="expr"``: the pure-expression explode twin
+    (engine-portable md5/conv plan; Catalyst evaluates HOF lambdas
+    interpreted per ELEMENT, so the per-gram md5 makes it ~4× slower
+    at equal results — kept as the differential/parity path, same
+    role as ``dedup``'s expression SimHash). Both paths hash with the
+    identical md5-prefix rule and are pytest-pinned equal."""
+    if impl == "expr":
+        grams = hashed_grams_col(text_col, n_buckets=n_buckets,
+                                 salt=salt,
+                                 include_unigrams=include_unigrams)
+        return (df.select(F.explode(grams).alias("bucket"))
+                  .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+    if impl != "arrow":
+        raise ValueError(f"unknown impl: {impl!r}")
+    if not 1 <= n_buckets <= 65536:
+        raise ValueError("n_buckets must be in [1, 65536]")
+
+    def hist(batches):
+        counts = np.zeros(n_buckets, dtype=np.int64)
+        for pdf in batches:
+            for t in pdf["__text__"]:
+                toks = (t or "").split(" ")
+                grams = (list(toks) if include_unigrams else [])
+                grams += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+                for g in grams:
+                    counts[int(hashlib.md5(
+                        (salt + g).encode()).hexdigest()[:4], 16)
+                        % n_buckets] += 1
+        nz = np.nonzero(counts)[0]
+        yield pd.DataFrame({"bucket": nz.astype(np.int64),
+                            "n": counts[nz]})
+
+    return (df.select(F.col(text_col).alias("__text__"))
+              .mapInPandas(hist, "bucket long, n long")
+              .groupBy("bucket").agg(F.sum("n").alias("n")))
 
 
 def dsir_model(target: DataFrame, raw: DataFrame,

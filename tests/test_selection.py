@@ -121,6 +121,49 @@ def test_dsir_weight_zero_shuffle_plan(spark, docs):
     assert "Exchange" not in plan
 
 
+def test_bucket_counts_impls_agree(spark, docs):
+    # the Arrow per-partition histogram (scale path) and the
+    # pure-expression explode twin must produce identical histograms
+    n_buckets = 512
+    arrow = {r["bucket"]: r["n"]
+             for r in sel.bucket_counts(docs, n_buckets=n_buckets,
+                                        impl="arrow").collect()}
+    expr = {r["bucket"]: r["n"]
+            for r in sel.bucket_counts(docs, n_buckets=n_buckets,
+                                       impl="expr").collect()}
+    assert arrow == expr
+    with pytest.raises(ValueError):
+        sel.bucket_counts(docs, impl="nope")
+
+
+def test_hashed_grams_edge_docs(spark):
+    # single-token and empty docs: no bigrams, never a crash (a
+    # descending sequence(1, 0) once made element_at throw here);
+    # both the expression path and both bucket_counts impls agree
+    # with the local hashlib twin
+    n_buckets = 64
+    df = spark.createDataFrame(
+        [("a", "solo"), ("b", ""), ("c", "two words")],
+        "doc_id string, text string")
+    got = {r["doc_id"]: list(r["bk"]) for r in df.select(
+        "doc_id",
+        sel.hashed_grams_col("text", n_buckets=n_buckets).alias("bk"))
+        .collect()}
+    want = {r["doc_id"]: [_local_bucket(g, n_buckets)
+                          for g in _local_grams(r["text"])]
+            for r in df.collect()}
+    assert got == want
+    for impl in ("arrow", "expr"):
+        hist = {r["bucket"]: r["n"]
+                for r in sel.bucket_counts(df, n_buckets=n_buckets,
+                                           impl=impl).collect()}
+        flat: dict[int, int] = {}
+        for bks in want.values():
+            for b in bks:
+                flat[b] = flat.get(b, 0) + 1
+        assert hist == flat, impl
+
+
 def test_hashed_grams_spark_expression_matches_python_hash(spark, docs):
     # the Spark expression path (conv/substring/md5) and the pandas
     # UDF path (hashlib) must agree gram-for-gram
