@@ -170,10 +170,16 @@ def frame_sample_plan(df: DataFrame, *, fps: float = 1.0,
     """Frame-sampling plan for video rows: one row per sampled frame
     offset (ms), computed as pure expressions (sequence + explode) —
     the decode of each frame would then run through ``decode_media``'s
-    batch path. No Python in this step."""
+    batch path. No Python in this step.
+
+    Zero- or negative-duration videos contribute no frames: the
+    ``duration_ms > 0`` guard is load-bearing, not tidy —
+    ``sequence(0, dur-1, step)`` THROWS on ``dur = 0`` ("illegal
+    sequence boundaries: 0 to -1"), it does not return an empty
+    array. NULL durations already drop at the explode."""
     dur = F.col(f"{meta_col}.duration_ms")
     step = F.lit(int(1000 / fps))
     offs = F.sequence(F.lit(0), dur - 1, step)
-    return (df.where(F.col("media_kind") == "video")
+    return (df.where((F.col("media_kind") == "video") & (dur > 0))
               .select(F.col(id_col), F.posexplode(offs)
                       .alias("frame_idx", "offset_ms")))

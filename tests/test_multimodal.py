@@ -69,6 +69,25 @@ def test_frame_sample_plan_expression_only(media):
         assert offs == [i * 500 for i in range(len(frames))]
 
 
+def test_frame_sample_plan_zero_duration_video(spark, media):
+    # sequence(0, dur-1, step) THROWS on dur=0 rather than returning
+    # an empty array — zero/negative/NULL durations must yield no
+    # frames, not a job abort
+    from pyspark.sql import functions as F
+
+    weird = media.limit(3).withColumn(
+        "media_kind", F.lit("video")).withColumn(
+        "meta", F.struct(
+            F.col("meta.width"), F.col("meta.height"),
+            (F.monotonically_increasing_id() % 2)
+            .cast("int").alias("duration_ms"),  # 0 or 1 ms
+            F.col("meta.mime")))
+    rows = mm.frame_sample_plan(weird, fps=1.0).collect()
+    # only the dur=1 rows produce a frame (the one at offset 0)
+    assert all(r["offset_ms"] == 0 for r in rows)
+    assert 0 < len(rows) < 3
+
+
 def test_decode_media_custom_codec_seam(media):
     """The production-codec seam: any ``bytes -> (w, h)`` callable runs
     through the SAME Arrow batch path as the built-in parser — schema
