@@ -45,8 +45,17 @@ def norm_col(a: Column) -> Column:
 
 
 def cosine_col(a: Column, b: Column) -> Column:
-    """dot/(|a|·|b|) with a fixed operation order (divide twice)."""
-    return dot_col(a, b) / norm_col(a) / norm_col(b)
+    """dot/(|a|·|b|) with a fixed operation order (divide twice).
+
+    Zero-norm operands yield NULL: Spark 4 runs ANSI mode by default,
+    so an unguarded division makes ONE all-zero embedding (a deleted
+    doc, a failed encoder) abort the whole job with DIVIDE_BY_ZERO.
+    CaseWhen evaluates only the selected branch, so the division never
+    executes for the degenerate rows; NULL embeddings stay NULL
+    through the norm comparison exactly as before."""
+    na, nb = norm_col(a), norm_col(b)
+    return F.when((na != F.lit(0.0)) & (nb != F.lit(0.0)),
+                  dot_col(a, b) / na / nb)
 
 
 def _cosine_pairs_batch(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -64,8 +73,10 @@ def _cosine_pairs_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     Caveats (documented contract): a null ELEMENT inside an embedding
     arrives from Arrow as NaN and yields NaN where the expression path
     yields null — don't feed element-null embeddings to the arrow
-    impl; and a ZERO-NORM vector yields NaN here where the expression
-    path raises DIVIDE_BY_ZERO under Spark 4 ANSI mode."""
+    impl. A ZERO-NORM vector yields NULL on both paths: the NaN this
+    kernel computes surfaces as NA through the Float64 extension
+    array, matching ``cosine_col``'s zero-norm CaseWhen guard
+    (test-pinned)."""
     n = len(a)
     out = np.full(n, np.nan)
     valid = np.empty(n, dtype=bool)

@@ -104,6 +104,28 @@ def test_brute_force_topk_self_similarity(spark):
     assert top[0]["neighbor_id"] == 6 and top[0]["cosine"] == 1.0
 
 
+def test_cosine_zero_norm_yields_null_on_both_paths(spark):
+    # Spark 4 runs ANSI mode by default: an unguarded dot/|a|/|b|
+    # aborts the job with DIVIDE_BY_ZERO on the first all-zero
+    # embedding. Both kernels must instead yield NULL for zero-norm
+    # or NULL operands and agree exactly on valid rows.
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]),
+         ([3.0, 4.0], [1.0, 0.0]),
+         (None, [1.0, 1.0]),
+         ([1.0, 2.0], [0.0, 0.0])],
+        "a array<double>, b array<double>")
+    expr = [r["c"] for r in df.select(
+        similarity.cosine_col(F.col("a"), F.col("b")).alias("c"))
+        .collect()]
+    arrow = [r["c"] for r in df.select(
+        similarity.cosine_pairs_udf(F.col("a"), F.col("b")).alias("c"))
+        .collect()]
+    assert expr == arrow
+    assert expr[0] is None and expr[2] is None and expr[3] is None
+    assert expr[1] == pytest.approx(0.6)
+
+
 def test_ann_bucketed_matches_brute_force_for_same_bucket(spark):
     rows = [(i, [1.0 + i, 0.5, -0.25, 1.0] + [0.1] * 4)
             for i in range(10)]
