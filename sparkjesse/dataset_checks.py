@@ -168,6 +168,13 @@ def fixed_histogram(df: DataFrame, value: Column | str, *, lo: float,
     """Fixed-bucket histogram (bucket, n, p). Values are clamped into
     [lo, hi]; bucket ids are 0..buckets-1. Pure floor arithmetic so the
     same definition runs in any SQL engine (oracle-checkable)."""
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    if not hi > lo:
+        # fail fast at plan-build time: width 0 would otherwise abort
+        # the whole job mid-scan with an ANSI DIVIDE_BY_ZERO (a
+        # constant column's observed min == max is the common trigger)
+        raise ValueError(f"hi ({hi}) must be > lo ({lo})")
     v = F.col(value) if isinstance(value, str) else value
     width = (hi - lo) / buckets
     bucket = F.least(

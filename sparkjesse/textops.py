@@ -320,15 +320,20 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
         lambda acc, g: acc + F.length(g).cast("long")))
     top = _run_fold(top_grams)
     dup = _run_fold(dup_grams)
+    # empty/whitespace docs have zero gram chars; their fraction is
+    # NULL, not an ANSI DIVIDE_BY_ZERO job abort (Spark 4 default)
+    gc_top = gram_chars(top_grams)
+    gc_dup = gram_chars(dup_grams)
     return df.select(
         F.col(id_col),
         top["best_gram"].alias("top_gram"),
         top["best_run"].alias("top_gram_count"),
-        ((top["best_run"] * F.length(top["best_gram"]).cast("long"))
-         .cast("double") / gram_chars(top_grams).cast("double"))
+        F.when(gc_top > 0,
+               (top["best_run"] * F.length(top["best_gram"])
+                .cast("long")).cast("double") / gc_top.cast("double"))
         .alias("top_ngram_char_frac"),
-        (dup["dup_chars"].cast("double")
-         / gram_chars(dup_grams).cast("double"))
+        F.when(gc_dup > 0,
+               dup["dup_chars"].cast("double") / gc_dup.cast("double"))
         .alias("dup_ngram_char_frac"),
     )
 

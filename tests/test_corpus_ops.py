@@ -55,6 +55,18 @@ def test_repetition_no_repeats_is_zero_dup(spark):
     assert r["dup_ngram_char_frac"] == 0.0
 
 
+def test_repetition_empty_doc_null_fractions(spark):
+    # empty text has zero gram chars: fractions are NULL, never an
+    # ANSI DIVIDE_BY_ZERO job abort (Spark 4 default mode)
+    df = spark.createDataFrame([(1, ""), (2, "x y x y")],
+                               ["doc_id", "text"])
+    rows = {r["doc_id"]: r
+            for r in textops.repetition_signals(df).collect()}
+    assert rows[1]["top_ngram_char_frac"] is None
+    assert rows[1]["dup_ngram_char_frac"] is None
+    assert rows[2]["top_ngram_char_frac"] is not None
+
+
 def test_repetition_short_doc_single_shingle(spark):
     # doc shorter than n -> one whole-doc shingle, fraction 1.0
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])

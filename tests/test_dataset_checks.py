@@ -68,6 +68,16 @@ def test_histogram_and_psi_ks_zero_drift(spark):
     assert rep["ks"] == pytest.approx(0.0, abs=1e-9)
 
 
+def test_histogram_degenerate_range_fails_fast(spark):
+    # hi == lo (constant column) must raise at plan-build time, not
+    # abort the job mid-scan with an ANSI DIVIDE_BY_ZERO
+    df = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    with pytest.raises(ValueError, match="must be > lo"):
+        dc.fixed_histogram(df, "v", lo=5.0, hi=5.0)
+    with pytest.raises(ValueError, match="buckets"):
+        dc.fixed_histogram(df, "v", lo=0.0, hi=1.0, buckets=0)
+
+
 def test_psi_ks_detect_shift(spark):
     base = spark.range(2000).select((F.col("id") % 100).alias("v"))
     cur = spark.range(2000).select(
