@@ -141,6 +141,24 @@ def uniqueness_metrics(df: DataFrame, key_col: str) -> dict:
     }
 
 
+def array_length_profile(df: DataFrame, col: str,
+                         expected: int | None = None) -> DataFrame:
+    """Length histogram of an array column: ``(length, n[, ok])`` —
+    the pre-flight gate for fixed-``dim`` consumers (``label_centroids``,
+    LSH sign buckets, IVF assignment), whose ``element_at(emb, i)``
+    plans ANSI-abort the whole job on the FIRST ragged row. One
+    map-side-combined groupBy on ``size()``; shuffle volume = #distinct
+    lengths (a handful). NULL arrays report length NULL; with
+    ``expected`` set, ``ok`` marks the conforming length so callers
+    can fail fast or route ragged rows to quarantine before the
+    expensive pass."""
+    out = (df.select(F.size(F.col(col)).alias("length"))
+             .groupBy("length").agg(F.count(F.lit(1)).alias("n")))
+    if expected is not None:
+        out = out.withColumn("ok", F.col("length") == expected)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # referential integrity
 # ---------------------------------------------------------------------------

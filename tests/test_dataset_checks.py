@@ -68,6 +68,20 @@ def test_histogram_and_psi_ks_zero_drift(spark):
     assert rep["ks"] == pytest.approx(0.0, abs=1e-9)
 
 
+def test_array_length_profile(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, [5.0]), (4, None)],
+        "id long, emb array<double>")
+    rows = {r["length"]: (r["n"], r["ok"]) for r in
+            dc.array_length_profile(df, "emb", expected=2).collect()}
+    assert rows[2] == (2, True)
+    assert rows[1] == (1, False)
+    assert None in rows and rows[None][0] == 1
+    # without expected: no ok column
+    cols = dc.array_length_profile(df, "emb").columns
+    assert cols == ["length", "n"]
+
+
 def test_histogram_degenerate_range_fails_fast(spark):
     # hi == lo (constant column) must raise at plan-build time, not
     # abort the job mid-scan with an ANSI DIVIDE_BY_ZERO
