@@ -144,6 +144,22 @@ def test_repetition_signals_zero_shuffle(spark):
     assert "Exchange" not in plan, plan[:2000]
 
 
+def test_bucket_counts_arrow_single_exchange_no_explode(spark):
+    """DSIR's Arrow histogram path: partitions fold grams into dense
+    histograms inside one MapInPandas — no per-gram Generate/explode
+    ever materializes, and the only Exchange carries <= n_buckets rows
+    per partition into the final sum."""
+    from sparkjesse import selection
+    docs = spark.read.parquet(DOCS)
+    plan = _plan(selection.bucket_counts(docs, n_buckets=256))
+    assert "Generate" not in plan, plan[:2000]
+    assert plan.count("Exchange") == 1, plan[:2000]
+    # the expression twin is the explode plan, zero Python
+    plan_e = _plan(selection.bucket_counts(docs, n_buckets=256,
+                                           impl="expr"))
+    assert "Generate" in plan_e, plan_e[:2000]
+
+
 def test_sampling_zero_shuffle_and_pruned_scan(spark):
     """Deterministic sampling is a pure filter: zero exchange, and the
     scan reads only the referenced columns."""
