@@ -428,28 +428,41 @@ def semantic_dedup(df: DataFrame, centroids: list, *,
     import pandas as _pd
 
     def dedup_cell(pdf: _pd.DataFrame) -> _pd.DataFrame:
-        # rows of one cluster; pairwise cosine with the same
-        # sequential-fold rounding contract as cosine_col (dot and
-        # norms in float64, round sim to 6 dp)
-        embs = [np.asarray(e, dtype=np.float64)
-                for e in pdf["emb"]]
+        # rows of one cluster. Vectorized ACROSS PAIRS, looping over
+        # DIMENSIONS (the _cosine_pairs_batch trick): each pair's dot
+        # accumulator sees the exact left-fold IEEE sequence, so the
+        # 6-dp-rounded sims match the per-pair loop this replaced —
+        # which did O(n²) python-level np.dot calls, ~6 s for a
+        # paper-sized 2k-vector cluster. Chunked over rows so peak
+        # memory is CHUNK×n doubles, not n².
         cs = pdf["cent_sim"].to_numpy()
         ids = pdf["id"].to_numpy()
-        n = len(embs)
-        norms = [float(np.sqrt(np.dot(e, e))) for e in embs]
-        dup = np.zeros(n, dtype=bool)
+        n = len(ids)
+        E = np.stack([np.asarray(e, dtype=np.float64)
+                      for e in pdf["emb"]]) if n else np.zeros((0, 1))
+        dim = E.shape[1]
+        sq = np.zeros(n)
+        for d in range(dim):
+            sq += E[:, d] * E[:, d]
+        nrm = np.sqrt(sq)
         order = np.lexsort((ids, cs))  # (cent_sim, id) ascending
-        for oi in range(n):
-            i = order[oi]
-            # only earlier-in-order mates can dominate i
-            for oj in range(oi):
-                j = order[oj]
-                denom = norms[i] * norms[j]
-                sim = (float(np.dot(embs[i], embs[j])) / denom
-                       if denom else 0.0)
-                if round(sim, 6) >= threshold:
-                    dup[i] = True
-                    break
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n)
+        dup = np.zeros(n, dtype=bool)
+        chunk = 1024
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            G = np.zeros((e - s, n))
+            for d in range(dim):
+                G += np.outer(E[s:e, d], E[:, d])
+            denom = np.outer(nrm[s:e], nrm)
+            sim = np.divide(G, denom, out=np.zeros_like(G),
+                            where=denom != 0)  # zero-norm pair -> 0.0
+            hit = np.round(sim, 6) >= threshold
+            hit[np.arange(e - s), np.arange(s, e)] = False  # self
+            # only earlier-in-(cent_sim, id)-order mates dominate
+            dup[s:e] = (hit & (rank[None, :] < rank[s:e, None])
+                        ).any(axis=1)
         return _pd.DataFrame({"id": ids, "cell": pdf["cell"],
                               "cent_sim": cs, "is_dup": dup})
 
